@@ -1,0 +1,70 @@
+"""Pairwise-distance and batched-gather primitives.
+
+Functional equivalents of the reference's hot helpers
+(``PAPC/models/layers/pointnet2_basic_layers.py:26-62``), built to stay on
+device: ``square_distance`` is a single matmul expansion that lowers onto the
+MXU, ``index_points`` is a fused one-hot/gather instead of the reference's
+``.numpy()`` round-trip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared euclidean distance.
+
+    Args:
+      src: ``[B, N, C]`` source points.
+      dst: ``[B, M, C]`` target points.
+
+    Returns:
+      ``[B, N, M]`` squared distances.
+
+    Reference parity: ``pointnet2_basic_layers.py:26-40`` (same
+    ``-2*src@dstT + |src|^2 + |dst|^2`` expansion; the cross term is the only
+    O(N*M*C) work and it is one MXU matmul).
+    """
+    cross = jnp.einsum(
+        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32
+    )
+    s2 = jnp.sum(src * src, axis=-1)[:, :, None]
+    d2 = jnp.sum(dst * dst, axis=-1)[:, None, :]
+    return s2 - 2.0 * cross + d2
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: for each batch item select rows of ``points`` by ``idx``.
+
+    Args:
+      points: ``[B, N, C]``.
+      idx: integer indices ``[B, ...]`` with values in ``[0, N)``.
+
+    Returns:
+      ``[B, ..., C]`` gathered points.
+
+    Reference parity: ``pointnet2_basic_layers.py:43-62`` — which gathers via
+    a numpy round-trip; here it is a single on-device
+    ``jnp.take_along_axis``.
+    """
+    B = points.shape[0]
+    C = points.shape[-1]
+    batch_shape = idx.shape
+    flat_idx = idx.reshape(B, -1)  # [B, S*]
+    gathered = jnp.take_along_axis(
+        points, flat_idx[..., None].astype(jnp.int32), axis=1, mode="clip"
+    )
+    return gathered.reshape(*batch_shape, C)
+
+
+def pc_normalize(pc: jax.Array) -> jax.Array:
+    """Center a single cloud ``[N, C]`` and scale to the unit sphere.
+
+    Reference parity: ``pointnet2_basic_layers.py:17-23``.
+    """
+    centroid = jnp.mean(pc, axis=0)
+    pc = pc - centroid
+    m = jnp.max(jnp.sqrt(jnp.sum(pc**2, axis=1)))
+    return pc / m

@@ -1,0 +1,116 @@
+"""Neighborhood grouping: ball query, kNN, sample-and-group.
+
+Reference parity: ``pointnet2_basic_layers.py:98-176``. The reference builds
+the full ``[B, S, N]`` index matrix, masks it through TWO numpy round-trips
+and runs a full sort. Here the "first ``nsample`` indices inside the radius"
+semantics are realized with a masked ``lax.top_k`` over negated indices — no
+sort, no host sync, identical results.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from papc_tpu.ops.geometry import index_points, square_distance
+from papc_tpu.ops.sampling import farthest_point_sample
+
+
+def query_ball_point(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+) -> jax.Array:
+    """For each query, the first ``nsample`` point indices within ``radius``.
+
+    Args:
+      radius: ball radius.
+      nsample: neighbors per ball (static).
+      xyz: ``[B, N, 3]`` all points.
+      new_xyz: ``[B, S, 3]`` query centers.
+
+    Returns:
+      ``[B, S, nsample]`` int32 indices. Slots beyond the in-radius count are
+      filled with the first in-radius index (reference semantics,
+      ``pointnet2_basic_layers.py:119-126``).
+    """
+    N = xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    # Out-of-radius points get sentinel N; reference masks with `> radius**2`.
+    cand = jnp.where(sqrdists > radius**2, N, idx[None, None, :])
+    # nsample smallest indices == nsample largest of the negation.
+    neg_top, _ = lax.top_k(-cand, nsample)
+    group_idx = -neg_top  # ascending indices, sentinel N at the tail
+    group_first = group_idx[..., :1]
+    group_idx = jnp.where(group_idx == N, group_first, group_idx)
+    # Degenerate all-empty ball (cannot happen when new_xyz ⊆ xyz): clamp.
+    return jnp.minimum(group_idx, N - 1)
+
+
+def knn(k: int, xyz: jax.Array, new_xyz: jax.Array):
+    """k nearest neighbors of each query.
+
+    Returns ``(dists, idx)``: ``[B, S, k]`` squared distances (ascending) and
+    int32 indices. Used by feature propagation (3-NN interpolation,
+    reference ``pointnet2_basic_layers.py:305-309``).
+    """
+    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    neg_d, idx = lax.top_k(-sqrdists, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    points: jax.Array | None,
+    *,
+    key: jax.Array | None = None,
+    return_fps: bool = False,
+):
+    """FPS + ball query + gather + center-normalize.
+
+    Args:
+      xyz: ``[B, N, 3]`` positions; points: ``[B, N, D]`` features or None.
+
+    Returns:
+      ``new_xyz [B, npoint, 3]``, ``new_points [B, npoint, nsample, 3+D]``
+      (relative xyz concatenated before features — reference
+      ``pointnet2_basic_layers.py:129-158``).
+    """
+    B, N, C = xyz.shape
+    fps_idx = farthest_point_sample(xyz, npoint, key=key)
+    new_xyz = index_points(xyz, fps_idx)  # [B, npoint, 3]
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, idx)  # [B, npoint, nsample, 3]
+    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], -1)
+    else:
+        new_points = grouped_xyz_norm
+    if return_fps:
+        return new_xyz, new_points, grouped_xyz, fps_idx
+    return new_xyz, new_points
+
+
+def sample_and_group_all(xyz: jax.Array, points: jax.Array | None):
+    """Single group containing every point (global abstraction stage).
+
+    Reference ``pointnet2_basic_layers.py:160-176``: new_xyz is the origin,
+    grouped xyz is NOT normalized.
+    """
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), dtype=xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]  # [B, 1, N, C]
+    if points is not None:
+        new_points = jnp.concatenate(
+            [grouped_xyz, points[:, None, :, :]], axis=-1
+        )
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points

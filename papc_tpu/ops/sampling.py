@@ -1,0 +1,68 @@
+"""Farthest point sampling (FPS) — fully on-device.
+
+The reference implements FPS as a Python loop that syncs the whole cloud to
+numpy on EVERY iteration (``pointnet2_basic_layers.py:65-95`` — npoint
+serialized host round-trips). Here the loop is a ``lax.fori_loop`` compiled
+into the XLA program: the running min-distance vector stays on chip, each
+iteration is one gather + one fused elementwise pass + one argmax over
+``[B, N]``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def farthest_point_sample(
+    xyz: jax.Array,
+    npoint: int,
+    *,
+    key: jax.Array | None = None,
+    start_idx: jax.Array | int | None = None,
+) -> jax.Array:
+    """Iteratively pick the point farthest from the already-picked set.
+
+    Args:
+      xyz: ``[B, N, 3]`` point positions.
+      npoint: number of samples (static).
+      key: optional PRNG key for the random initial point (the reference uses
+        ``paddle.randint`` per batch item, ``pointnet2_basic_layers.py:76``).
+      start_idx: optional fixed initial index (scalar or ``[B]``); wins over
+        ``key``. Defaults to 0 when neither is given (deterministic).
+
+    Returns:
+      ``[B, npoint]`` int32 indices into ``N``.
+    """
+    B, N, _ = xyz.shape
+    if start_idx is not None:
+        farthest0 = jnp.broadcast_to(
+            jnp.asarray(start_idx, dtype=jnp.int32), (B,)
+        )
+    elif key is not None:
+        farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        farthest0 = jnp.zeros((B,), dtype=jnp.int32)
+
+    xyz = xyz.astype(jnp.float32)
+
+    def body(i, state):
+        distance, farthest, centroids = state
+        centroids = lax.dynamic_update_index_in_dim(
+            centroids, farthest, i, axis=1
+        )
+        centroid = jnp.take_along_axis(
+            xyz, farthest[:, None, None], axis=1
+        )  # [B, 1, 3]
+        d = jnp.sum((xyz - centroid) ** 2, axis=-1)  # [B, N]
+        distance = jnp.minimum(distance, d)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return distance, farthest, centroids
+
+    distance0 = jnp.full((B, N), jnp.inf, dtype=jnp.float32)
+    centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+    _, _, centroids = lax.fori_loop(
+        0, npoint, body, (distance0, farthest0, centroids0)
+    )
+    return centroids

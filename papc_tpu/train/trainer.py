@@ -1,0 +1,268 @@
+"""Single trainer for the whole clas/seg zoo.
+
+Reference parity: ``PAPC/train.py`` — same public ``train(...)`` signature
+(model_name, mode, max_point, num_classes, num_parts, learning_rate,
+weight_decay, epoch_num, batchsize, info_iter, save_iter, path), same
+Adam(+L2) optimizer, same per-``info_iter`` loss/accuracy/mIoU prints,
+checkpoints every ``save_iter`` epochs, a val pass each epoch.
+
+TPU-native differences: one jitted train step (donated state) per model;
+fixed-shape padded batches; data-parallel over a device mesh by default;
+Orbax checkpointing with resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from papc_tpu.models import ModelSpec, init_model
+from papc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from papc_tpu.train import metrics as M
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_optimizer(
+    learning_rate: float, weight_decay: float
+) -> optax.GradientTransformation:
+    """Adam with paddle-style L2 regularization (decay added to the grad
+    BEFORE the Adam transform — reference ``PAPC/train.py:62-65``)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(learning_rate),
+    )
+
+
+def model_inputs(spec: ModelSpec, batch: dict):
+    """Positional model args for a batch, per input kind/mode."""
+    if spec.input_kind == "voxel":
+        return (batch["voxels"],)
+    if spec.input_kind == "kd":
+        return (batch["points"], batch["split_dims"])
+    if spec.mode == "seg":
+        return (batch["points"], batch["label"])
+    return (batch["points"],)
+
+
+def targets_of(spec: ModelSpec, batch: dict):
+    return batch["pid"] if spec.mode == "seg" else batch["label"]
+
+
+def create_train_state(
+    spec: ModelSpec,
+    rng: jax.Array,
+    sample_batch: dict,
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-3,
+) -> TrainState:
+    inputs = model_inputs(spec, sample_batch)
+    variables = spec.model.init(
+        {"params": rng, "dropout": rng}, *inputs, train=False
+    )
+    return TrainState.create(
+        apply_fn=spec.model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(learning_rate, weight_decay),
+    )
+
+
+def make_train_step(spec: ModelSpec, num_parts: int = 50):
+    """Build the jitted training step for a model spec."""
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        inputs = model_inputs(spec, batch)
+        out, mutated = spec.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *inputs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        targets = targets_of(spec, batch)
+        loss = M.softmax_cross_entropy(out, targets, batch["mask"])
+        return loss, (out, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict, dropout_rng):
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, dropout_rng)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        targets = targets_of(spec, batch)
+        if spec.mode == "seg":
+            metric = M.mean_iou(logits, targets, num_parts, batch["mask"])
+        else:
+            metric = M.accuracy(logits, targets, batch["mask"])
+        return state, loss, metric
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        inputs = model_inputs(spec, batch)
+        logits = spec.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *inputs,
+            train=False,
+        )
+        targets = targets_of(spec, batch)
+        loss = M.softmax_cross_entropy(logits, targets, batch["mask"])
+        if spec.mode == "seg":
+            metric = M.mean_iou(logits, targets, num_parts, batch["mask"])
+        else:
+            metric = M.accuracy(logits, targets, batch["mask"])
+        return loss, metric
+
+    return train_step, eval_step
+
+
+def save_checkpoint(state: TrainState, model_dir: str, name: str, epoch: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, f"{name}_{epoch}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(state: TrainState, path: str) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "step": state.step,
+    }
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+        step=restored["step"],
+    )
+
+
+def _as_batch_dict(spec: ModelSpec, raw) -> dict:
+    """Adapt a loader Batch namedtuple / dict to the trainer batch dict."""
+    if isinstance(raw, dict):
+        return raw
+    return {k: v for k, v in raw._asdict().items() if v is not None}
+
+
+def train(
+    model_name: str = "pointnet_basic",
+    mode: str = "clas",
+    max_point: int = 1024,
+    num_classes: int = 16,
+    num_parts: int = 50,
+    learning_rate: float = 0.001,
+    weight_decay: float = 0.001,
+    epoch_num: int = 10,
+    batchsize: int = 32,
+    info_iter: int = 40,
+    save_iter: int = 2,
+    path: str = "./dataset/",
+    model_dir: str = "./model/",
+    seed: int = 0,
+    make_loader: Callable | None = None,
+    log: Callable[[str], None] = print,
+):
+    """Train a zoo model — the reference's top-level entry point
+    (``PAPC/train.py:78-138``), rebuilt.
+
+    ``make_loader(mode2)`` may inject a custom loader factory (used by
+    tests and by the kd/voxel data paths); default is the ShapeNet h5
+    pipeline.
+    """
+    spec = init_model(model_name, mode, num_classes, num_parts, max_point)
+
+    if make_loader is None:
+        from papc_tpu.data.dispatch import make_dataloader
+
+        def make_loader(mode2):
+            return make_dataloader(
+                model_name, max_point, batchsize, path, mode, mode2
+            )
+
+    train_loader = make_loader("train")
+    val_loader = make_loader("val")
+
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(seed)
+
+    first = _as_batch_dict(spec, next(iter(train_loader())))
+    state = create_train_state(
+        spec, rng, first, learning_rate, weight_decay
+    )
+    state = replicate(mesh, state)
+    train_step, eval_step = make_train_step(spec, num_parts)
+
+    history = []
+    step_count = 0
+    for epoch in range(epoch_num):
+        log("=" * 35 + "train" + "=" * 43)
+        t0 = time.time()
+        for batch_id, raw in enumerate(train_loader()):
+            batch = shard_batch(mesh, _as_batch_dict(spec, raw))
+            rng, drop_rng = jax.random.split(rng)
+            state, loss, metric = train_step(state, batch, drop_rng)
+            if batch_id % info_iter == 0:
+                name = "miou" if mode == "seg" else "accuracy"
+                log(
+                    f"epoch: {epoch}, batch_id: {batch_id}, "
+                    f"loss is: [{float(loss):.6f}], "
+                    f"{name} is: [{float(metric):.6f}]"
+                )
+            step_count += 1
+        epoch_time = time.time() - t0
+
+        if epoch % save_iter == 0:
+            save_checkpoint(state, model_dir, model_name, epoch)
+
+        # validation
+        log("=" * 35 + "val" + "=" * 45)
+        v_losses, v_metrics = [], []
+        for batch_id, raw in enumerate(val_loader()):
+            batch = shard_batch(mesh, _as_batch_dict(spec, raw))
+            loss, metric = eval_step(state, batch)
+            v_losses.append(float(loss))
+            v_metrics.append(float(metric))
+            if batch_id % info_iter == 0:
+                name = "miou" if mode == "seg" else "accuracy"
+                log(
+                    f"epoch: {epoch}, batch_id: {batch_id}, "
+                    f"loss is: [{float(loss):.6f}], "
+                    f"{name} is: [{float(metric):.6f}]"
+                )
+        history.append(
+            {
+                "epoch": epoch,
+                "epoch_time": epoch_time,
+                "val_loss": sum(v_losses) / max(len(v_losses), 1),
+                "val_metric": sum(v_metrics) / max(len(v_metrics), 1),
+            }
+        )
+    return state, history

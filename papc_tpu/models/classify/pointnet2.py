@@ -17,6 +17,10 @@ from papc_tpu.nn import MLPHead, SetAbstraction, SetAbstractionMsg
 class PointNet2SSGClas(nn.Module):
     num_classes: int = 16
     normal_channel: bool = False
+    # reference sizes (npoint, nsample per SA stage); overridable so tiny
+    # dry-run shapes stay cheap
+    npoints: tuple = (512, 128)
+    nsamples: tuple = (32, 64)
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool = True) -> jax.Array:
@@ -25,12 +29,12 @@ class PointNet2SSGClas(nn.Module):
             xyz, norm = points[..., :3], points[..., 3:]
         else:
             xyz, norm = points, None
-        l1_xyz, l1_points = SetAbstraction(512, 0.2, 32, (64, 64, 128))(
-            xyz, norm, train
-        )
-        l2_xyz, l2_points = SetAbstraction(128, 0.4, 64, (128, 128, 256))(
-            l1_xyz, l1_points, train
-        )
+        l1_xyz, l1_points = SetAbstraction(
+            self.npoints[0], 0.2, self.nsamples[0], (64, 64, 128)
+        )(xyz, norm, train)
+        l2_xyz, l2_points = SetAbstraction(
+            self.npoints[1], 0.4, self.nsamples[1], (128, 128, 256)
+        )(l1_xyz, l1_points, train)
         _, l3_points = SetAbstraction(
             None, None, None, (256, 512, 1024), group_all=True
         )(l2_xyz, l2_points, train)

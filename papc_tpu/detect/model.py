@@ -1,0 +1,276 @@
+"""PointPillars network (Flax linen, channel-last, batched static shapes).
+
+Reference parity: ``models/bones/pillars.py`` (PFNLayer, PillarFeatureNet,
+PointPillarsScatter), ``models/bones/rpn.py`` (SECOND-style 3-block RPN),
+``models/detectors/pointpillars.py`` (loss preparation).
+
+TPU-native differences:
+  * pillars are batched per sample ``[B, V, P, D]`` (the reference flattens
+    the batch into one voxel list with a batch-index coordinate column);
+  * the scatter is one vmapped ``.at[].set`` instead of a per-item numpy
+    round-trip (reference ``pillars.py:121-142``);
+  * NHWC layout; BN epsilons/momenta match the reference (1e-3 / 0.01).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from papc_tpu.ops.voxelize import scatter_to_bev
+
+PFN_BN = dict(momentum=0.01, epsilon=1e-3)
+
+
+class PFNLayer(nn.Module):
+    """Linear(no bias)→BN→ReLU→max over points; non-final layers concat
+    the max back per point (reference ``pillars.py:9-41``)."""
+
+    units: int
+    last_layer: bool = False
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        # x: [B, V, P, C]
+        units = self.units if self.last_layer else self.units // 2
+        x = nn.Dense(units, use_bias=not self.use_norm)(x)
+        if self.use_norm:
+            x = nn.BatchNorm(use_running_average=not train, **PFN_BN)(x)
+        x = nn.relu(x)
+        x_max = jnp.max(x, axis=2, keepdims=True)  # [B, V, 1, units]
+        if self.last_layer:
+            return x_max
+        rep = jnp.broadcast_to(x_max, x.shape)
+        return jnp.concatenate([x, rep], axis=-1)
+
+
+class PillarFeatureNet(nn.Module):
+    """Decorate points (cluster offset + pillar-center offset), mask
+    padded slots, run the PFN stack → per-pillar features
+    (reference ``pillars.py:43-108``)."""
+
+    num_filters: Sequence[int] = (64,)
+    voxel_size: Sequence[float] = (0.2, 0.2, 4.0)
+    pc_range: Sequence[float] = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    with_distance: bool = False
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        voxels: jax.Array,  # [B, V, P, D] raw point features (xyz first)
+        num_points: jax.Array,  # [B, V] valid points per pillar
+        coords: jax.Array,  # [B, V, 3] (z, y, x) cell indices; -1 invalid
+        train: bool = True,
+    ) -> jax.Array:
+        B, V, P, D = voxels.shape
+        denom = jnp.maximum(num_points, 1).astype(voxels.dtype)
+        points_mean = (
+            jnp.sum(voxels[..., :3], axis=2, keepdims=True)
+            / denom[..., None, None]
+        )
+        f_cluster = voxels[..., :3] - points_mean
+
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        x_offset = vx / 2 + float(self.pc_range[0])
+        y_offset = vy / 2 + float(self.pc_range[1])
+        px = coords[..., 2].astype(voxels.dtype) * vx + x_offset
+        py = coords[..., 1].astype(voxels.dtype) * vy + y_offset
+        f_center = jnp.stack(
+            [
+                voxels[..., 0] - px[..., None],
+                voxels[..., 1] - py[..., None],
+            ],
+            axis=-1,
+        )
+        feats = [voxels, f_cluster, f_center]
+        if self.with_distance:
+            feats.append(
+                jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True)
+            )
+        features = jnp.concatenate(feats, axis=-1)
+
+        # zero padded point slots (reference get_paddings_indicator)
+        slot = jnp.arange(P)[None, None, :]
+        mask = (slot < num_points[..., None]).astype(features.dtype)
+        features = features * mask[..., None]
+
+        n = len(self.num_filters)
+        for i, f in enumerate(self.num_filters):
+            features = PFNLayer(
+                f, last_layer=(i == n - 1), use_norm=self.use_norm
+            )(features, train)
+        return features[:, :, 0, :]  # [B, V, C]
+
+
+class PointPillarsScatter(nn.Module):
+    """Scatter pillar features to the dense BEV canvas → [B, ny, nx, C]
+    (reference ``pillars.py:110-142``; here one vmapped indexed-set)."""
+
+    ny: int
+    nx: int
+
+    @nn.compact
+    def __call__(self, voxel_features, coords):
+        return jax.vmap(
+            lambda f, c: scatter_to_bev(f, c, self.ny, self.nx)
+        )(voxel_features, coords)
+
+
+class _ConvBlock(nn.Module):
+    """Stride conv + n same-padding convs, each Conv(no bias)→BN→ReLU."""
+
+    filters: int
+    n_layers: int
+    stride: int
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn(h):
+            if self.use_norm:
+                h = nn.BatchNorm(
+                    use_running_average=not train, **PFN_BN
+                )(h)
+            return h
+
+        x = nn.Conv(
+            self.filters, (3, 3), strides=self.stride,
+            padding=((1, 1), (1, 1)), use_bias=not self.use_norm,
+        )(x)
+        x = nn.relu(bn(x))
+        for _ in range(self.n_layers):
+            x = nn.Conv(
+                self.filters, (3, 3), padding="SAME",
+                use_bias=not self.use_norm,
+            )(x)
+            x = nn.relu(bn(x))
+        return x
+
+
+class RPN(nn.Module):
+    """SECOND-style 3-block backbone + upsample-concat + 1x1 heads
+    (reference ``rpn.py:8-170``)."""
+
+    num_class: int = 1
+    layer_nums: Sequence[int] = (3, 5, 5)
+    layer_strides: Sequence[int] = (2, 2, 2)
+    num_filters: Sequence[int] = (64, 128, 256)
+    upsample_strides: Sequence[int] = (1, 2, 4)
+    num_upsample_filters: Sequence[int] = (128, 128, 128)
+    num_anchor_per_loc: int = 2
+    encode_background_as_zeros: bool = True
+    use_direction_classifier: bool = True
+    use_norm: bool = True
+    use_bev: bool = False
+    box_code_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, bev=None, train: bool = True):
+        def bn(h):
+            if self.use_norm:
+                h = nn.BatchNorm(
+                    use_running_average=not train, **PFN_BN
+                )(h)
+            return h
+
+        ups = []
+        for i in range(3):
+            x = _ConvBlock(
+                self.num_filters[i],
+                self.layer_nums[i],
+                self.layer_strides[i],
+                self.use_norm,
+            )(x, train)
+            if i == 0 and self.use_bev and bev is not None:
+                b = bev
+                # log-compress the density channel (reference rpn.py:147)
+                b = b.at[..., -1].set(
+                    jnp.clip(jnp.log1p(b[..., -1]) / jnp.log(16.0), None, 1.0)
+                )
+                for f in (32, 64):
+                    b = nn.Conv(
+                        f, (3, 3), padding="SAME", use_bias=not self.use_norm
+                    )(b)
+                    b = nn.relu(bn(b))
+                b = nn.max_pool(b, (2, 2), strides=(2, 2))
+                x = jnp.concatenate([x, b], axis=-1)
+            s = self.upsample_strides[i]
+            up = nn.ConvTranspose(
+                self.num_upsample_filters[i], (s, s), strides=(s, s),
+                use_bias=not self.use_norm,
+            )(x)
+            ups.append(nn.relu(bn(up)))
+        x = jnp.concatenate(ups, axis=-1)
+
+        num_cls = self.num_anchor_per_loc * (
+            self.num_class
+            if self.encode_background_as_zeros
+            else self.num_class + 1
+        )
+        box_preds = nn.Conv(
+            self.num_anchor_per_loc * self.box_code_size, (1, 1)
+        )(x)
+        cls_preds = nn.Conv(num_cls, (1, 1))(x)
+        out = {"box_preds": box_preds, "cls_preds": cls_preds}
+        if self.use_direction_classifier:
+            out["dir_cls_preds"] = nn.Conv(
+                self.num_anchor_per_loc * 2, (1, 1)
+            )(x)
+        return out
+
+
+class PointPillars(nn.Module):
+    """PFN → Scatter → RPN. ``__call__`` returns the raw RPN head maps;
+    loss and prediction post-processing are pure functions
+    (``papc_tpu.detect.detector``)."""
+
+    ny: int
+    nx: int
+    num_class: int = 1
+    pfn_num_filters: Sequence[int] = (64,)
+    voxel_size: Sequence[float] = (0.16, 0.16, 4.0)
+    pc_range: Sequence[float] = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+    with_distance: bool = False
+    rpn_layer_nums: Sequence[int] = (3, 5, 5)
+    rpn_layer_strides: Sequence[int] = (2, 2, 2)
+    rpn_num_filters: Sequence[int] = (64, 128, 256)
+    rpn_upsample_strides: Sequence[int] = (1, 2, 4)
+    rpn_num_upsample_filters: Sequence[int] = (128, 128, 128)
+    num_anchor_per_loc: int = 2
+    encode_background_as_zeros: bool = True
+    use_direction_classifier: bool = True
+    use_norm: bool = True
+    box_code_size: int = 7
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords, train: bool = True):
+        voxel_features = PillarFeatureNet(
+            num_filters=self.pfn_num_filters,
+            voxel_size=self.voxel_size,
+            pc_range=self.pc_range,
+            with_distance=self.with_distance,
+            use_norm=self.use_norm,
+            name="pfn",
+        )(voxels, num_points, coords, train)
+        spatial = PointPillarsScatter(self.ny, self.nx, name="scatter")(
+            voxel_features, coords
+        )
+        return RPN(
+            num_class=self.num_class,
+            layer_nums=self.rpn_layer_nums,
+            layer_strides=self.rpn_layer_strides,
+            num_filters=self.rpn_num_filters,
+            upsample_strides=self.rpn_upsample_strides,
+            num_upsample_filters=self.rpn_num_upsample_filters,
+            num_anchor_per_loc=self.num_anchor_per_loc,
+            encode_background_as_zeros=self.encode_background_as_zeros,
+            use_direction_classifier=self.use_direction_classifier,
+            use_norm=self.use_norm,
+            box_code_size=self.box_code_size,
+            name="rpn",
+        )(spatial, train=train)

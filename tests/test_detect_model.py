@@ -1,0 +1,168 @@
+"""PointPillars network + loss + predict tests (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from papc_tpu.detect import box_np
+from papc_tpu.detect.box_coder import GroundBox3dCoder
+from papc_tpu.detect.detector import (
+    LossConfig,
+    PredictConfig,
+    add_sin_difference,
+    compute_loss,
+    get_direction_target,
+    predict,
+    prepare_loss_weights,
+)
+from papc_tpu.detect.model import PointPillars
+
+# tiny scene: 16 x 16 BEV grid, 32 pillars, 8 points per pillar
+NY, NX, V, P = 16, 16, 32, 8
+B = 2
+KEY = jax.random.PRNGKey(0)
+
+
+def make_inputs(rng):
+    voxels = rng.randn(B, V, P, 4).astype(np.float32)
+    num_points = rng.randint(1, P + 1, size=(B, V)).astype(np.int32)
+    coords = np.stack(
+        [
+            np.zeros((B, V), np.int32),
+            rng.randint(0, NY, size=(B, V)),
+            rng.randint(0, NX, size=(B, V)),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    return jnp.asarray(voxels), jnp.asarray(num_points), jnp.asarray(coords)
+
+
+@pytest.fixture(scope="module")
+def net_and_vars():
+    rng = np.random.RandomState(0)
+    model = PointPillars(ny=NY, nx=NX, num_class=1)
+    inputs = make_inputs(rng)
+    variables = model.init(KEY, *inputs, train=False)
+    return model, variables, inputs
+
+
+def test_forward_shapes(net_and_vars):
+    model, variables, inputs = net_and_vars
+    out = model.apply(variables, *inputs, train=False)
+    # strides 2,2,2 w/ upsample 1,2,4 -> all maps at ny/2 x nx/2
+    H, W = NY // 2, NX // 2
+    assert out["box_preds"].shape == (B, H, W, 2 * 7)
+    assert out["cls_preds"].shape == (B, H, W, 2 * 1)
+    assert out["dir_cls_preds"].shape == (B, H, W, 2 * 2)
+
+
+def test_prepare_loss_weights():
+    labels = jnp.asarray([[1, 0, -1, 1, 0, 0]])
+    cls_w, reg_w, cared = prepare_loss_weights(labels)
+    np.testing.assert_array_equal(
+        np.asarray(cared), [[True, True, False, True, True, True]]
+    )
+    # NormByNumPositives: 2 positives -> reg weight 0.5 on positives
+    np.testing.assert_allclose(
+        np.asarray(reg_w), [[0.5, 0, 0, 0.5, 0, 0]]
+    )
+    # reference quirk (detectors/pointpillars.py:487): cls weight =
+    # neg_w + pos_w*positives for ALL anchors (incl. ignored), then
+    # normalized by num positives — positives 2/2=1, others 1/2
+    np.testing.assert_allclose(np.asarray(cls_w[0, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(cls_w[0, 2]), 0.5)
+
+
+def test_sin_difference_identity():
+    a = jnp.asarray(np.random.RandomState(0).randn(1, 4, 7), jnp.float32)
+    b1, b2 = add_sin_difference(a, a)
+    # sin(x)cos(x) == cos(x)sin(x) -> angle channels equal
+    np.testing.assert_allclose(
+        np.asarray(b1[..., -1]), np.asarray(b2[..., -1]), atol=1e-6
+    )
+
+
+def test_direction_target():
+    anchors = jnp.zeros((1, 3, 7)).at[..., -1].set(
+        jnp.asarray([[0.5, -0.5, 0.0]])
+    )
+    reg = jnp.zeros((1, 3, 7)).at[..., -1].set(
+        jnp.asarray([[0.1, 0.1, -0.2]])
+    )
+    t = get_direction_target(anchors, reg, one_hot=False)
+    np.testing.assert_array_equal(np.asarray(t), [[1, 0, 0]])
+
+
+def test_loss_runs_and_grads(net_and_vars):
+    model, variables, inputs = net_and_vars
+    rng = np.random.RandomState(1)
+    H, W = NY // 2, NX // 2
+    A = H * W * 2
+    labels = jnp.asarray(rng.randint(-1, 2, size=(B, A)))
+    reg_targets = jnp.asarray(rng.randn(B, A, 7) * 0.1, jnp.float32)
+    anchors = jnp.asarray(
+        np.tile(
+            np.array([0.0, 0, -1, 1.6, 3.9, 1.56, 0], np.float32),
+            (B, A, 1),
+        )
+    )
+    cfg = LossConfig()
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            *inputs, train=True, mutable=["batch_stats"],
+        )
+        loss, m = compute_loss(out, labels, reg_targets, anchors, cfg)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert gnorm > 0
+
+
+def test_predict_static_shapes(net_and_vars):
+    model, variables, inputs = net_and_vars
+    out = model.apply(variables, *inputs, train=False)
+    H, W = NY // 2, NX // 2
+    A = H * W * 2
+    anchors_np = box_np.create_anchors_3d_stride(
+        [1, H, W],
+        anchor_strides=[2 * 0.16, 2 * 0.16, 0.0],
+        anchor_offsets=[0.16, -39.52, -1.78],
+    ).reshape(-1, 7)
+    anchors = jnp.asarray(np.tile(anchors_np[None], (B, 1, 1)))
+    coder = GroundBox3dCoder()
+    cfg = PredictConfig(
+        nms_pre_max_size=64, nms_post_max_size=16,
+        nms_score_threshold=0.0,
+    )
+    dets = predict(out, anchors, coder.decode_jnp, cfg)
+    assert dets["box3d_lidar"].shape == (B, 16, 7)
+    assert dets["scores"].shape == (B, 16)
+    assert dets["valid"].shape == (B, 16)
+    # valid detections carry finite boxes
+    assert bool(jnp.isfinite(dets["box3d_lidar"]).all())
+
+
+def test_predict_score_threshold_filters_all(net_and_vars):
+    model, variables, inputs = net_and_vars
+    out = model.apply(variables, *inputs, train=False)
+    H, W = NY // 2, NX // 2
+    A = H * W * 2
+    anchors = jnp.asarray(
+        np.tile(np.array([0.0, 0, -1, 1.6, 3.9, 1.56, 0], np.float32),
+                (B, A, 1))
+    )
+    coder = GroundBox3dCoder()
+    cfg = PredictConfig(
+        nms_pre_max_size=64, nms_post_max_size=16,
+        nms_score_threshold=1.1,  # impossible
+    )
+    dets = predict(out, anchors, coder.decode_jnp, cfg)
+    assert int(dets["valid"].sum()) == 0

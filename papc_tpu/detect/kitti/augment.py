@@ -1,0 +1,305 @@
+"""Point-cloud augmentation for detection training.
+
+Reference parity: ``libs/preprocess.py`` — per-object noise with
+collision-rejected placement (:593-686, numba kernels :252-457), global
+flip/rotation/scaling/translate (:755-800, :890-904), the segment-
+intersection + containment ``box_collision_test`` (:808-887), epoch-
+shuffled ``BatchSampler`` (:17-49) and DB filters (:62-91). The numba
+per-pair loops are replaced by vectorized numpy; per-object noise batches
+all ``num_try`` candidates per object into one collision matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from papc_tpu.detect import box_np
+
+
+# ------------------------------------------------------ collision testing
+
+def _segments_intersect(A, B, C, D):
+    """Proper segment intersection (reference inequality form).
+    A/B/C/D: [..., 2] broadcastable."""
+    def ccw(p, q, r):
+        return (r[..., 1] - p[..., 1]) * (q[..., 0] - p[..., 0]) > (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    return (ccw(A, C, D) != ccw(B, C, D)) & (ccw(A, B, C) != ccw(A, B, D))
+
+
+def _contains_all(corners, pts, clockwise=True):
+    """True where quad [..., 4, 2] strictly contains ALL pts [..., P, 2]."""
+    a = corners
+    b = np.roll(corners, -1, axis=-2)
+    vec = a - b
+    if clockwise:
+        vec = -vec
+    rel0 = a[..., None, :, 0] - pts[..., :, None, 0]
+    rel1 = a[..., None, :, 1] - pts[..., :, None, 1]
+    cross = vec[..., None, :, 1] * rel0 - vec[..., None, :, 0] * rel1
+    return (cross < 0).all(axis=(-1, -2))
+
+
+def box_collision_test(
+    boxes: np.ndarray, qboxes: np.ndarray, clockwise: bool = True
+) -> np.ndarray:
+    """BEV collision matrix [N, K] for corner boxes [N, 4, 2] x [K, 4, 2]
+    (edge intersection OR full containment; standup prefilter)."""
+    N, K = len(boxes), len(qboxes)
+    if N == 0 or K == 0:
+        return np.zeros((N, K), bool)
+    bs = box_np.corner_to_standup_nd(boxes)
+    qs = box_np.corner_to_standup_nd(qboxes)
+    iw = np.minimum(bs[:, None, 2], qs[None, :, 2]) - np.maximum(
+        bs[:, None, 0], qs[None, :, 0]
+    )
+    ih = np.minimum(bs[:, None, 3], qs[None, :, 3]) - np.maximum(
+        bs[:, None, 1], qs[None, :, 1]
+    )
+    candidate = (iw > 0) & (ih > 0)
+
+    # all 16 edge pairs: A,B from boxes edges; C,D from qboxes edges
+    A = boxes[:, None, :, None, :]  # [N,1,4,1,2]
+    B = np.roll(boxes, -1, axis=1)[:, None, :, None, :]
+    C = qboxes[None, :, None, :, :]  # [1,K,1,4,2]
+    D = np.roll(qboxes, -1, axis=1)[None, :, None, :, :]
+    edge_hit = _segments_intersect(A, B, C, D).any(axis=(-1, -2))
+
+    box_bc = np.broadcast_to(boxes[:, None], (N, K, 4, 2))
+    q_bc = np.broadcast_to(qboxes[None, :], (N, K, 4, 2))
+    box_contains_q = _contains_all(box_bc, q_bc, clockwise)
+    q_contains_box = _contains_all(q_bc, box_bc, clockwise)
+    return candidate & (edge_hit | box_contains_q | q_contains_box)
+
+
+# --------------------------------------------------- per-object noise aug
+
+def _rotate_corners(corners, angle):
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]], corners.dtype)
+    return corners @ rot
+
+
+def noise_per_object_(
+    gt_boxes: np.ndarray,
+    points: np.ndarray | None = None,
+    valid_mask: np.ndarray | None = None,
+    rotation_perturb=np.pi / 4,
+    center_noise_std=1.0,
+    num_try: int = 100,
+    rng: np.random.RandomState | None = None,
+):
+    """Independently perturb each GT box (location + yaw), rejecting
+    trials that collide with any other current box; move the points inside
+    each box along with it. In-place on ``gt_boxes``/``points``
+    (reference ``noise_per_object_v3_`` :593-686 without group/global-rot
+    modes, which the shipped config disables — ``yaml:163``)."""
+    if rng is None:
+        rng = np.random.RandomState()
+    num_boxes = len(gt_boxes)
+    if num_boxes == 0:
+        return
+    if not isinstance(rotation_perturb, (list, tuple, np.ndarray)):
+        rotation_perturb = [-rotation_perturb, rotation_perturb]
+    if not isinstance(center_noise_std, (list, tuple, np.ndarray)):
+        center_noise_std = [center_noise_std] * 3
+    if valid_mask is None:
+        valid_mask = np.ones(num_boxes, bool)
+
+    loc_noises = rng.normal(
+        scale=np.asarray(center_noise_std, gt_boxes.dtype),
+        size=[num_boxes, num_try, 3],
+    )
+    rot_noises = rng.uniform(
+        rotation_perturb[0], rotation_perturb[1],
+        size=[num_boxes, num_try],
+    )
+
+    bev = gt_boxes[:, [0, 1, 3, 4, 6]]
+    box_corners = box_np.center_to_corner_box2d(
+        bev[:, :2], bev[:, 2:4], bev[:, 4]
+    )
+    selected = -np.ones(num_boxes, np.int64)
+    for i in range(num_boxes):
+        if not valid_mask[i]:
+            continue
+        center = bev[i, :2]
+        base = box_corners[i] - center  # [4, 2]
+        # all trials at once: [T, 4, 2]
+        cand = np.stack(
+            [_rotate_corners(base, rot_noises[i, j]) for j in range(num_try)]
+        )
+        cand = cand + (center + loc_noises[i, :, :2])[:, None, :]
+        coll = box_collision_test(cand, box_corners)  # [T, N]
+        coll[:, i] = False
+        ok = ~coll.any(axis=1)
+        hit = np.flatnonzero(ok)
+        if len(hit):
+            j = int(hit[0])
+            selected[i] = j
+            box_corners[i] = cand[j]
+
+    loc_t = np.zeros((num_boxes, 3), gt_boxes.dtype)
+    rot_t = np.zeros((num_boxes,), gt_boxes.dtype)
+    chosen = selected >= 0
+    loc_t[chosen] = loc_noises[chosen, selected[chosen]]
+    rot_t[chosen] = rot_noises[chosen, selected[chosen]]
+
+    if points is not None and num_boxes > 0:
+        masks = box_np.points_in_rbbox(points, gt_boxes)  # [P, N]
+        any_box = masks.any(axis=1)
+        first_box = np.argmax(masks, axis=1)
+        apply = any_box & valid_mask[first_box] & chosen[first_box]
+        idx = first_box[apply]
+        rel = points[apply, :3] - gt_boxes[idx, :3]
+        c, s = np.cos(rot_t[idx]), np.sin(rot_t[idx])
+        x = rel[:, 0] * c - rel[:, 1] * s
+        y = rel[:, 0] * s + rel[:, 1] * c
+        rel = np.stack([x, y, rel[:, 2]], axis=1)
+        points[apply, :3] = (
+            rel + gt_boxes[idx, :3] + loc_t[idx]
+        )
+
+    ok = valid_mask & chosen
+    gt_boxes[ok, :3] += loc_t[ok]
+    gt_boxes[ok, 6] += rot_t[ok]
+
+
+# --------------------------------------------------------- global aug ops
+
+def random_flip(gt_boxes, points, probability=0.5, rng=None):
+    rng = rng or np.random.RandomState()
+    if rng.rand() < probability:
+        gt_boxes[:, 1] = -gt_boxes[:, 1]
+        gt_boxes[:, 6] = -gt_boxes[:, 6] + np.pi
+        points[:, 1] = -points[:, 1]
+    return gt_boxes, points
+
+
+def global_rotation(gt_boxes, points, rotation=np.pi / 4, rng=None):
+    rng = rng or np.random.RandomState()
+    if not isinstance(rotation, (list, tuple, np.ndarray)):
+        rotation = [-rotation, rotation]
+    angle = rng.uniform(rotation[0], rotation[1])
+    points[:, :3] = box_np.rotation_points_single_angle(
+        points[:, :3], angle, axis=2
+    )
+    gt_boxes[:, :3] = box_np.rotation_points_single_angle(
+        gt_boxes[:, :3], angle, axis=2
+    )
+    gt_boxes[:, 6] += angle
+    return gt_boxes, points
+
+
+def global_scaling(gt_boxes, points, min_scale=0.95, max_scale=1.05,
+                   rng=None):
+    rng = rng or np.random.RandomState()
+    s = rng.uniform(min_scale, max_scale)
+    points[:, :3] *= s
+    gt_boxes[:, :6] *= s
+    return gt_boxes, points
+
+
+def global_translate(gt_boxes, points, noise_translate_std, rng=None):
+    rng = rng or np.random.RandomState()
+    if not isinstance(noise_translate_std, (list, tuple, np.ndarray)):
+        noise_translate_std = [noise_translate_std] * 3
+    t = np.array(
+        [rng.normal(0, s) for s in noise_translate_std], points.dtype
+    )
+    points[:, :3] += t
+    gt_boxes[:, :3] += t
+    return gt_boxes, points
+
+
+def filter_gt_box_outside_range(gt_boxes, limit_range):
+    """Keep GT boxes whose BEV center-corner box intersects the range
+    (reference ``filter_gt_box_outside_range`` :699-713)."""
+    bv = box_np.center_to_corner_box2d(
+        gt_boxes[:, :2], gt_boxes[:, 3:5], gt_boxes[:, 6]
+    )
+    limit = np.asarray(limit_range)  # [xmin, ymin, xmax, ymax]
+    mins = bv.min(axis=1)
+    maxs = bv.max(axis=1)
+    return ~(
+        (maxs[:, 0] < limit[0])
+        | (maxs[:, 1] < limit[1])
+        | (mins[:, 0] > limit[2])
+        | (mins[:, 1] > limit[3])
+    )
+
+
+# ------------------------------------------------- sampler infrastructure
+
+class BatchSampler:
+    """Epoch-shuffled index sampler over a pool (reference :17-49)."""
+
+    def __init__(self, sampled_list, name=None, shuffle=True, rng=None):
+        self._sampled_list = sampled_list
+        self._rng = rng or np.random.RandomState()
+        self._indices = np.arange(len(sampled_list))
+        if shuffle:
+            self._rng.shuffle(self._indices)
+        self._idx = 0
+        self._num = len(sampled_list)
+        self._shuffle = shuffle
+        self._name = name
+
+    def _sample(self, num):
+        if self._idx + num >= self._num:
+            ret = self._indices[self._idx:].copy()
+            self._reset()
+        else:
+            ret = self._indices[self._idx : self._idx + num]
+            self._idx += num
+        return ret
+
+    def _reset(self):
+        if self._shuffle:
+            self._rng.shuffle(self._indices)
+        self._idx = 0
+
+    def sample(self, num):
+        return [self._sampled_list[i] for i in self._sample(num)]
+
+
+class DBFilterByDifficulty:
+    def __init__(self, removed_difficulties):
+        self._removed = removed_difficulties
+
+    def __call__(self, db_infos):
+        return {
+            key: [
+                info
+                for info in dinfos
+                if info["difficulty"] not in self._removed
+            ]
+            for key, dinfos in db_infos.items()
+        }
+
+
+class DBFilterByMinNumPoint:
+    def __init__(self, min_gt_point_dict):
+        self._min = min_gt_point_dict
+
+    def __call__(self, db_infos):
+        for name, min_num in self._min.items():
+            if min_num > 0 and name in db_infos:
+                db_infos[name] = [
+                    info
+                    for info in db_infos[name]
+                    if info["num_points_in_gt"] >= min_num
+                ]
+        return db_infos
+
+
+class DataBasePreprocessor:
+    def __init__(self, preprocessors):
+        self._preprocessors = preprocessors
+
+    def __call__(self, db_infos):
+        for p in self._preprocessors:
+            db_infos = p(db_infos)
+        return db_infos

@@ -381,8 +381,9 @@ def rotate_iou_cpu(
     boxes, with a standup-IoU prefilter (reference ``riou_cc``
     ``box_np_ops.py:16-27`` + C++ ``box_ops.h::rbbox_iou``).
 
-    ``criterion``: -1 = IoU, 0 = inter/area0, 1 = inter/area1 (the eval
-    kernel's overlap criteria — ``nms_gpu.py:618-653``).
+    ``criterion``: -1 = IoU, 0 = inter/area0, 1 = inter/area1, anything
+    else = raw intersection AREA (the eval kernel's overlap criteria —
+    ``nms_gpu.py:618-653``; the 3D metric feeds criterion=2).
     """
     N, K = len(rbboxes), len(qrbboxes)
     out = np.zeros((N, K), dtype=np.float32)
@@ -405,8 +406,10 @@ def rotate_iou_cpu(
             denom = area1[i] + area2[j] - inter
         elif criterion == 0:
             denom = area1[i]
-        else:
+        elif criterion == 1:
             denom = area2[j]
+        else:
+            denom = 1.0
         if denom > 0:
             out[i, j] = inter / denom
     return out

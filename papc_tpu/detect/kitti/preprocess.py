@@ -188,6 +188,9 @@ def prep_pointcloud(
         "image_idx": np.array(
             input_dict.get("image_idx", 0), dtype=np.int64
         ),
+        "image_shape": np.asarray(
+            input_dict.get("image_shape", (375, 1242)), dtype=np.int32
+        ),
     }
 
     feature_map_size = grid_size[:2] // out_size_factor

@@ -1,0 +1,418 @@
+"""Detection training loop + CLI.
+
+Reference parity: ``pointpillars/train.py`` — config-driven build of
+voxelizer/coder/assigner/net/optimizer (:46-89), input readers (:93-120),
+the step loop with flattened metric logging (:140-262), time-based +
+per-eval checkpointing with resume from the persisted global step
+(:263-327), and ``predict_kitti_to_anno`` result conversion (:437-508).
+
+TPU-native: ONE jitted train step (pillarize happens host-side at static
+shape; forward+loss+backward+Adam in a single XLA program, donated
+state), data-parallel over the device mesh, Orbax checkpoints behind the
+reference's checkpoints.json index contract.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from papc_tpu.detect import box_np
+from papc_tpu.detect import builders
+from papc_tpu.detect.config import cfg_from_list, cfg_from_yaml_file, save_config
+from papc_tpu.detect.detector import compute_loss, predict
+from papc_tpu.detect.kitti.preprocess import collate_batch
+from papc_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from papc_tpu.train import checkpoint as ckpt_lib
+from papc_tpu.train.trainer import TrainState
+
+
+def flat_nested_json_dict(json_dict, sep=".") -> dict:
+    """Flatten nested dicts for metric logging (reference :351-368)."""
+    out = {}
+
+    def _flat(d, prefix=""):
+        for k, v in d.items():
+            key = f"{prefix}{sep}{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                _flat(v, key)
+            else:
+                out[key] = v
+
+    _flat(json_dict)
+    return out
+
+
+def example_to_device_batch(example: dict) -> dict:
+    """Select the tensors the jitted step consumes."""
+    batch = {
+        "voxels": example["voxels"].astype(np.float32),
+        "num_points": example["num_points"].astype(np.int32),
+        "coordinates": example["coordinates"].astype(np.int32),
+        "anchors": example["anchors"].astype(np.float32),
+    }
+    if "labels" in example:
+        batch["labels"] = example["labels"].astype(np.int32)
+        batch["reg_targets"] = example["reg_targets"].astype(np.float32)
+    if "anchors_mask" in example:
+        batch["anchors_mask"] = example["anchors_mask"].astype(bool)
+    return batch
+
+
+def make_detection_train_step(model, loss_cfg):
+    def loss_fn(params, batch_stats, batch):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["voxels"],
+            batch["num_points"],
+            batch["coordinates"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss, metrics = compute_loss(
+            preds,
+            batch["labels"],
+            batch["reg_targets"],
+            batch["anchors"],
+            loss_cfg,
+        )
+        return loss, (metrics, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, metrics
+
+    return train_step
+
+
+def make_predict_step(model, predict_cfg, box_coder):
+    @jax.jit
+    def predict_step(state: TrainState, batch: dict):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["voxels"],
+            batch["num_points"],
+            batch["coordinates"],
+            train=False,
+        )
+        return predict(
+            preds,
+            batch["anchors"],
+            box_coder.decode_jnp,
+            predict_cfg,
+            anchors_mask=batch.get("anchors_mask"),
+        )
+
+    return predict_step
+
+
+def predictions_to_kitti_annos(
+    dets: dict,
+    examples: dict,
+    class_names,
+    center_limit_range=None,
+):
+    """Convert fixed-size device detections into KITTI anno dicts
+    (reference ``predict_kitti_to_anno`` :437-508)."""
+    from papc_tpu.detect.kitti import common as kitti
+
+    annos = []
+    B = dets["box3d_lidar"].shape[0]
+    for i in range(B):
+        valid = np.asarray(dets["valid"][i])
+        boxes_lidar = np.asarray(dets["box3d_lidar"][i])[valid]
+        scores = np.asarray(dets["scores"][i])[valid]
+        labels = np.asarray(dets["label_preds"][i])[valid]
+        rect = np.asarray(examples["rect"][i])
+        Trv2c = np.asarray(examples["Trv2c"][i])
+        P2 = np.asarray(examples["P2"][i])
+        img_shape = np.asarray(examples["image_shape"][i])
+        image_idx = int(np.asarray(examples["image_idx"][i]))
+
+        if center_limit_range is not None and len(boxes_lidar):
+            lim = np.asarray(center_limit_range)
+            keep = ~(
+                np.any(boxes_lidar[:, :3] < lim[:3], axis=1)
+                | np.any(boxes_lidar[:, :3] > lim[3:], axis=1)
+            )
+            boxes_lidar = boxes_lidar[keep]
+            scores = scores[keep]
+            labels = labels[keep]
+
+        if len(boxes_lidar) == 0:
+            anno = kitti.empty_result_anno()
+            anno["image_idx"] = np.array([], dtype=np.int64)
+            annos.append(anno)
+            continue
+
+        box_cam = box_np.box_lidar_to_camera(boxes_lidar, rect, Trv2c)
+        bbox = box_np.box3d_to_bbox(box_cam, rect, Trv2c, P2)
+        # clip to the image
+        bbox[:, [0, 2]] = np.clip(bbox[:, [0, 2]], 0, img_shape[1])
+        bbox[:, [1, 3]] = np.clip(bbox[:, [1, 3]], 0, img_shape[0])
+
+        anno = kitti.get_start_result_anno()
+        for j in range(len(boxes_lidar)):
+            anno["name"].append(class_names[int(labels[j])])
+            anno["truncated"].append(0.0)
+            anno["occluded"].append(0)
+            anno["alpha"].append(
+                -np.arctan2(-boxes_lidar[j, 1], boxes_lidar[j, 0])
+                + box_cam[j, 6]
+            )
+            anno["bbox"].append(bbox[j])
+            anno["dimensions"].append(box_cam[j, 3:6])
+            anno["location"].append(box_cam[j, :3])
+            anno["rotation_y"].append(box_cam[j, 6])
+            anno["score"].append(scores[j])
+        anno = {k: np.stack(v) for k, v in anno.items()}
+        anno["image_idx"] = np.full(
+            len(boxes_lidar), image_idx, dtype=np.int64
+        )
+        annos.append(anno)
+    return annos
+
+
+def _iter_batches(dataset, batch_size, shuffle, rng):
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, n - batch_size + 1, batch_size):
+        idx = order[start : start + batch_size]
+        yield collate_batch([dataset[int(i)] for i in idx])
+
+
+def train(
+    cfg_file: str | None = None,
+    model_dir: str = "./ppmodel",
+    result_path: str | None = None,
+    cfg_overrides: list | None = None,
+    max_steps: int | None = None,
+    display_step: int = 50,
+    eval_on_finish: bool = True,
+    seed: int = 0,
+    log=print,
+):
+    """Train PointPillars from a YAML experiment config."""
+    from papc_tpu.detect.config import DEFAULT_CONFIG_PATH
+
+    cfg = cfg_from_yaml_file(cfg_file or DEFAULT_CONFIG_PATH)
+    if cfg_overrides:
+        cfg_from_list(cfg, cfg_overrides)
+    os.makedirs(model_dir, exist_ok=True)
+    save_config(cfg, os.path.join(model_dir, "pipeline.config"))
+    rng_np = np.random.RandomState(seed)
+
+    voxel_generator = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
+    box_coder = builders.build_box_coder(cfg.BOX_CODER)
+    target_assigner = builders.build_target_assigner(
+        cfg.TARGET_ASSIGNER, box_coder
+    )
+    model = builders.build_network(cfg, voxel_generator, target_assigner)
+    loss_cfg = builders.build_loss_config(cfg, target_assigner)
+    predict_cfg = builders.build_predict_config(cfg, target_assigner)
+
+    train_ds = builders.build_dataset(
+        cfg, cfg.TRAIN_INPUT_READER, voxel_generator, target_assigner,
+        training=True, rng=rng_np, log=log,
+    )
+    eval_ds = builders.build_dataset(
+        cfg, cfg.EVAL_INPUT_READER, voxel_generator, target_assigner,
+        training=False, log=log,
+    )
+
+    batch_size = int(cfg.TRAIN_INPUT_READER.BATCH_SIZE)
+    total_steps = int(max_steps or cfg.TRAIN_CONFIG.STEPS)
+    save_secs = int(cfg.TRAIN_CONFIG.get("SAVE_CHECKPOINTS_SECS", 1800))
+
+    # init from one real example
+    mesh = make_mesh_for_batch(batch_size)
+    example0 = collate_batch([train_ds[0]])
+    batch0 = example_to_device_batch(example0)
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        rng, batch0["voxels"], batch0["num_points"],
+        batch0["coordinates"], train=False,
+    )
+    tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    # resume
+    target = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "step": state.step,
+    }
+    restored = ckpt_lib.try_restore_latest(model_dir, "pointpillars", target)
+    if restored is not None:
+        state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            batch_stats=restored["batch_stats"],
+            step=restored["step"],
+        )
+        log(f"resumed from step {int(state.step)}")
+    state = replicate(mesh, state)
+
+    train_step = make_detection_train_step(model, loss_cfg)
+    predict_step = make_predict_step(model, predict_cfg, box_coder)
+
+    step = int(state.step)
+    last_save = time.time()
+    t_step = time.time()
+    try:
+        while step < total_steps:
+            for example in _iter_batches(
+                train_ds, batch_size, True, rng_np
+            ):
+                batch = shard_batch(
+                    mesh, example_to_device_batch(example)
+                )
+                state, metrics = train_step(state, batch)
+                step += 1
+                if step % display_step == 0:
+                    m = {
+                        k: round(float(v), 5)
+                        for k, v in metrics.items()
+                    }
+                    m["step"] = step
+                    m["steptime"] = round(time.time() - t_step, 4)
+                    line = ", ".join(f"{k}={v}" for k, v in
+                                     flat_nested_json_dict(m).items())
+                    log(line)
+                    with open(
+                        os.path.join(model_dir, "log.txt"), "a"
+                    ) as f:
+                        f.write(line + "\n")
+                t_step = time.time()
+                if time.time() - last_save > save_secs:
+                    _save(state, model_dir, step)
+                    last_save = time.time()
+                if step >= total_steps:
+                    break
+    except Exception:
+        _save(state, model_dir, step)
+        raise
+    _save(state, model_dir, step)
+
+    if eval_on_finish:
+        annos = evaluate(
+            model, state, predict_step, eval_ds, cfg, predict_cfg, log=log
+        )
+        if result_path:
+            os.makedirs(result_path, exist_ok=True)
+            _write_result_files(annos, result_path)
+        return state, annos
+    return state, None
+
+
+def _save(state, model_dir, step):
+    ckpt_lib.save(
+        model_dir,
+        "pointpillars",
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+        },
+        step,
+    )
+
+
+def evaluate(
+    model, state, predict_step, eval_ds, cfg, predict_cfg, log=print
+):
+    """Run prediction over the eval set → list of KITTI annos."""
+    class_names = list(cfg.EVAL_INPUT_READER.CLASS_NAMES)
+    limit = cfg.MODEL.POST_PROCESSING.get("post_center_limit_range")
+    batch_size = int(cfg.EVAL_INPUT_READER.BATCH_SIZE)
+    annos = []
+    n = len(eval_ds)
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        # pad final batch by repeating the last sample (static shapes)
+        pad = batch_size - len(idx)
+        idx = idx + [idx[-1]] * pad
+        example = collate_batch([eval_ds[int(i)] for i in idx])
+        batch = example_to_device_batch(example)
+        dets = predict_step(state, batch)
+        batch_annos = predictions_to_kitti_annos(
+            dets, example, class_names, limit
+        )
+        annos.extend(batch_annos[: len(batch_annos) - pad or None])
+    log(f"evaluated {len(annos)} frames")
+    return annos
+
+
+def _write_result_files(annos, result_path):
+    from papc_tpu.detect.kitti import common as kitti
+
+    for anno in annos:
+        idx = int(anno["image_idx"][0]) if len(anno["image_idx"]) else 0
+        lines = []
+        for j in range(len(anno["name"])):
+            lines.append(
+                kitti.kitti_result_line(
+                    {
+                        "name": anno["name"][j],
+                        "alpha": anno["alpha"][j],
+                        "bbox": anno["bbox"][j],
+                        # result files use h,w,l order
+                        "dimensions": anno["dimensions"][j][[1, 2, 0]],
+                        "location": anno["location"][j],
+                        "rotation_y": anno["rotation_y"][j],
+                        "score": anno["score"][j],
+                    }
+                )
+            )
+        path = pathlib.Path(result_path) / (
+            kitti.get_image_index_str(idx) + ".txt"
+        )
+        path.write_text("\n".join(lines) + ("\n" if lines else ""))
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description="PointPillars training")
+    parser.add_argument("command", choices=["train"], nargs="?",
+                        default="train")
+    parser.add_argument("--cfg_file", default=None)
+    parser.add_argument("--model_dir", default="./ppmodel")
+    parser.add_argument("--result_path", default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--display_step", type=int, default=50)
+    parser.add_argument(
+        "--set", dest="set_cfgs", nargs="*", default=None,
+        help="dotted config overrides: KEY VALUE [KEY VALUE ...]",
+    )
+    args = parser.parse_args()
+    train(
+        cfg_file=args.cfg_file,
+        model_dir=args.model_dir,
+        result_path=args.result_path,
+        cfg_overrides=args.set_cfgs,
+        max_steps=args.max_steps,
+        display_step=args.display_step,
+    )
+
+
+if __name__ == "__main__":
+    main()

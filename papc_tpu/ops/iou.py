@@ -131,8 +131,9 @@ def rotate_iou(
 ) -> jax.Array:
     """Exact rotated BEV IoU matrix [N, K] for [*, 5] (x, y, w, l, yaw).
 
-    ``criterion``: -1 IoU, 0 inter/area_boxes, 1 inter/area_query —
-    matching the reference eval kernel (``nms_gpu.py:618-653``).
+    ``criterion``: -1 IoU, 0 inter/area_boxes, 1 inter/area_query,
+    anything else raw intersection area — matching the reference eval
+    kernel (``nms_gpu.py:618-653``).
     """
     ca = box5_to_corners(rbboxes)  # [N, 4, 2]
     cb = box5_to_corners(qrbboxes)  # [K, 4, 2]
@@ -145,6 +146,8 @@ def rotate_iou(
         denom = area_a + area_b - inter
     elif criterion == 0:
         denom = jnp.broadcast_to(area_a, inter.shape)
-    else:
+    elif criterion == 1:
         denom = jnp.broadcast_to(area_b, inter.shape)
+    else:
+        denom = jnp.ones_like(inter)
     return jnp.where(denom > 0, inter / denom, 0.0)

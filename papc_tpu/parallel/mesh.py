@@ -26,6 +26,16 @@ def make_mesh(
     return Mesh(dev, ("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """1-D data mesh using the largest device count that divides the
+    batch (falls back to 1 device for indivisible small batches)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n_data=n, n_model=1, devices=devices[:n])
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the 'data' mesh axis."""
     return NamedSharding(mesh, P("data"))

@@ -25,7 +25,7 @@ import optax
 from flax.training import train_state
 
 from papc_tpu.models import ModelSpec, init_model
-from papc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from papc_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from papc_tpu.train import metrics as M
 
 
@@ -210,7 +210,7 @@ def train(
     train_loader = make_loader("train")
     val_loader = make_loader("val")
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(batchsize)
     rng = jax.random.PRNGKey(seed)
 
     first = _as_batch_dict(spec, next(iter(train_loader())))

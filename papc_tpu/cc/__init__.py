@@ -1,0 +1,197 @@
+"""papc_cc — native host kernels (ctypes bindings over the C++ core).
+
+Replaces the reference's native tier (numba JIT kernels, boost::geometry
+pybind11 modules, import-time g++/nvcc JIT — SURVEY §2.4) with one
+ahead-of-time-built shared library. ``build()`` compiles it once with
+g++ -O3; :func:`available` gates callers so every kernel also has a pure
+numpy twin in ``papc_tpu.detect`` (used when the library is absent).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "papc_cc.cpp")
+_LIB = os.path.join(_DIR, "libpapc_cc.so")
+
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the shared library (idempotent)."""
+    if force or not os.path.exists(_LIB) or (
+        os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    ):
+        subprocess.check_call(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", _SRC, "-o", _LIB,
+            ]
+        )
+    return _LIB
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB):
+        build()
+    lib = ctypes.CDLL(_LIB)
+    i64, i32, f32, u8 = (
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    )
+    lib.points_to_voxel.restype = ctypes.c_int
+    lib.points_to_voxel.argtypes = [
+        f32, i64, i64, f32, f32, i32, f32, i32, i32, i64, i64,
+    ]
+    lib.rbbox_iou.restype = None
+    lib.rbbox_iou.argtypes = [
+        f32, i64, f32, i64, ctypes.c_float, ctypes.c_int, f32,
+    ]
+    lib.nms_cpu.restype = ctypes.c_int
+    lib.nms_cpu.argtypes = [f32, i64, ctypes.c_float, u8]
+    lib.rotate_nms_cpu.restype = ctypes.c_int
+    lib.rotate_nms_cpu.argtypes = [f32, i64, ctypes.c_float, u8]
+    lib.points_in_polygon3d.restype = None
+    lib.points_in_polygon3d.argtypes = [f32, i64, f32, i64, u8]
+    lib.box_collision_test.restype = None
+    lib.box_collision_test.argtypes = [f32, i64, f32, i64, u8]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _f32(a):
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def points_to_voxel(
+    points: np.ndarray,
+    voxel_size,
+    point_cloud_range,
+    max_points: int = 35,
+    max_voxels: int = 20000,
+):
+    """First-come voxelization, exact reference semantics. Returns
+    (voxels [K, max_points, D], coords [K, 3] zyx, num_points [K])."""
+    lib = _load()
+    points = _f32(points)
+    vsz = _f32(voxel_size)
+    rng = _f32(point_cloud_range)
+    grid = np.round(
+        (np.asarray(point_cloud_range[3:]) - np.asarray(point_cloud_range[:3]))
+        / np.asarray(voxel_size)
+    ).astype(np.int64)
+    scratch = np.full(int(grid.prod()), -1, dtype=np.int32)
+    N, D = points.shape
+    voxels = np.zeros((max_voxels, max_points, D), np.float32)
+    coords = np.zeros((max_voxels, 3), np.int32)
+    nppv = np.zeros((max_voxels,), np.int32)
+    k = lib.points_to_voxel(
+        _ptr(points, ctypes.c_float), N, D,
+        _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
+        _ptr(scratch, ctypes.c_int32),
+        _ptr(voxels, ctypes.c_float), _ptr(coords, ctypes.c_int32),
+        _ptr(nppv, ctypes.c_int32), max_points, max_voxels,
+    )
+    return voxels[:k], coords[:k], nppv[:k]
+
+
+def rbbox_iou(
+    boxes: np.ndarray, qboxes: np.ndarray,
+    standup_thresh: float = 0.0, criterion: int = -1,
+) -> np.ndarray:
+    lib = _load()
+    boxes = _f32(boxes)
+    qboxes = _f32(qboxes)
+    n, k = len(boxes), len(qboxes)
+    out = np.zeros((n, k), np.float32)
+    if n and k:
+        lib.rbbox_iou(
+            _ptr(boxes, ctypes.c_float), n,
+            _ptr(qboxes, ctypes.c_float), k,
+            standup_thresh, criterion, _ptr(out, ctypes.c_float),
+        )
+    return out
+
+
+def nms(boxes: np.ndarray, iou_threshold: float = 0.5) -> np.ndarray:
+    """Greedy standup NMS on score-sorted [K, 4] boxes → bool keep."""
+    lib = _load()
+    boxes = _f32(boxes)
+    keep = np.zeros(len(boxes), np.uint8)
+    if len(boxes):
+        lib.nms_cpu(
+            _ptr(boxes, ctypes.c_float), len(boxes), iou_threshold,
+            _ptr(keep, ctypes.c_uint8),
+        )
+    return keep.astype(bool)
+
+
+def rotate_nms(rbboxes: np.ndarray, iou_threshold: float = 0.5) -> np.ndarray:
+    """Greedy exact rotated NMS on score-sorted [K, 5] boxes → keep."""
+    lib = _load()
+    rbboxes = _f32(rbboxes)
+    keep = np.zeros(len(rbboxes), np.uint8)
+    if len(rbboxes):
+        lib.rotate_nms_cpu(
+            _ptr(rbboxes, ctypes.c_float), len(rbboxes), iou_threshold,
+            _ptr(keep, ctypes.c_uint8),
+        )
+    return keep.astype(bool)
+
+
+def points_in_polygon3d(
+    points: np.ndarray, surfaces: np.ndarray
+) -> np.ndarray:
+    """[P, 3] x [N, 6, 4, 3] → [P, N] bool."""
+    lib = _load()
+    points = _f32(points[:, :3])
+    surfaces = _f32(surfaces)
+    p, n = len(points), len(surfaces)
+    out = np.zeros((p, n), np.uint8)
+    if p and n:
+        lib.points_in_polygon3d(
+            _ptr(points, ctypes.c_float), p,
+            _ptr(surfaces, ctypes.c_float), n,
+            _ptr(out, ctypes.c_uint8),
+        )
+    return out.astype(bool)
+
+
+def box_collision_test(
+    boxes: np.ndarray, qboxes: np.ndarray
+) -> np.ndarray:
+    """Corner boxes [N, 4, 2] x [K, 4, 2] → [N, K] bool."""
+    lib = _load()
+    boxes = _f32(boxes)
+    qboxes = _f32(qboxes)
+    n, k = len(boxes), len(qboxes)
+    out = np.zeros((n, k), np.uint8)
+    if n and k:
+        lib.box_collision_test(
+            _ptr(boxes, ctypes.c_float), n,
+            _ptr(qboxes, ctypes.c_float), k,
+            _ptr(out, ctypes.c_uint8),
+        )
+    return out.astype(bool)

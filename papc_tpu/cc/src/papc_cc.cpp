@@ -1,0 +1,363 @@
+// papc_cc — native host kernels for the papc_tpu input pipeline & eval.
+//
+// C++ replacements for the reference's native tier (SURVEY §2.4):
+//   * points_to_voxel      — libs/ops/cc/point_cloud_ops.h + the numba
+//                            twin point_cloud_ops.py:7-103 (first-come
+//                            voxel hashing with a dense coor→idx table)
+//   * rbbox_iou            — libs/ops/cc/box_ops.h (exact rotated IoU,
+//                            standup prefilter; Sutherland–Hodgman 4-gon
+//                            clip instead of boost::geometry)
+//   * nms_cpu              — libs/ops/cc/nms/nms_cpu.h:23-70 (greedy
+//                            standup NMS)
+//   * rotate_nms_cpu       — nms_cpu.h:72-168 (exact rotated NMS)
+//   * points_in_polygon3d  — libs/ops/geometry.py numba kernels
+//   * box_collision_test   — libs/preprocess.py:808-887
+//
+// Exposed with C linkage over raw buffers; Python binds via ctypes
+// (papc_tpu/cc/__init__.py). Built ahead-of-time — no import-time
+// compilation (unlike the reference's pybind11_build.py JIT).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- voxelize
+// points: [N, ndim] float32 (xyz first); returns K = number of voxels.
+// voxels: [max_voxels, max_points, ndim]; coords: [max_voxels, 3] (zyx);
+// num_points_per_voxel: [max_voxels]. All outputs must be zeroed by the
+// caller. coor_to_voxelidx: [nz*ny*nx] int32 scratch filled with -1.
+int points_to_voxel(
+    const float* points, int64_t num_points, int64_t ndim,
+    const float* voxel_size, const float* coors_range,
+    int32_t* coor_to_voxelidx,
+    float* voxels, int32_t* coords, int32_t* num_points_per_voxel,
+    int64_t max_points, int64_t max_voxels) {
+  int64_t grid[3];
+  for (int i = 0; i < 3; ++i) {
+    grid[i] = (int64_t)std::round(
+        (coors_range[3 + i] - coors_range[i]) / voxel_size[i]);
+  }
+  const int64_t nx = grid[0], ny = grid[1];
+  int voxel_num = 0;
+  int64_t c[3];
+  for (int64_t p = 0; p < num_points; ++p) {
+    bool failed = false;
+    for (int i = 0; i < 3; ++i) {
+      c[i] = (int64_t)std::floor(
+          (points[p * ndim + i] - coors_range[i]) / voxel_size[i]);
+      if (c[i] < 0 || c[i] >= grid[i]) { failed = true; break; }
+    }
+    if (failed) continue;
+    const int64_t lin = c[2] * ny * nx + c[1] * nx + c[0];
+    int32_t voxelidx = coor_to_voxelidx[lin];
+    if (voxelidx == -1) {
+      if (voxel_num >= max_voxels) continue;
+      voxelidx = voxel_num++;
+      coor_to_voxelidx[lin] = voxelidx;
+      coords[voxelidx * 3 + 0] = (int32_t)c[2];
+      coords[voxelidx * 3 + 1] = (int32_t)c[1];
+      coords[voxelidx * 3 + 2] = (int32_t)c[0];
+    }
+    int32_t& num = num_points_per_voxel[voxelidx];
+    if (num < max_points) {
+      std::memcpy(
+          voxels + (voxelidx * max_points + num) * ndim,
+          points + p * ndim, sizeof(float) * ndim);
+      ++num;
+    }
+  }
+  return voxel_num;
+}
+
+// --------------------------------------------------------- polygon helpers
+namespace {
+
+struct P2d { double x, y; };
+
+inline double cross(const P2d& o, const P2d& a, const P2d& b) {
+  return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+}
+
+// corners of a (x, y, w, l, yaw) box, clockwise from min corner in the
+// unrotated frame — matches box_np.center_to_corner_box2d.
+inline void box_corners(const float* b, P2d* out) {
+  const double hx = b[2] / 2.0, hy = b[3] / 2.0;
+  const double c = std::cos((double)b[4]), s = std::sin((double)b[4]);
+  const double rel[4][2] = {
+      {-hx, -hy}, {-hx, hy}, {hx, hy}, {hx, -hy}};
+  // clockwise-for-positive-angle convention (reference rotation_2d,
+  // row-vector p @ [[c,-s],[s,c]])
+  for (int i = 0; i < 4; ++i) {
+    out[i].x = rel[i][0] * c + rel[i][1] * s + b[0];
+    out[i].y = -rel[i][0] * s + rel[i][1] * c + b[1];
+  }
+}
+
+inline double polygon_area(const P2d* poly, int n) {
+  double a = 0;
+  for (int i = 0; i < n; ++i) {
+    const int j = (i + 1) % n;
+    a += poly[i].x * poly[j].y - poly[j].x * poly[i].y;
+  }
+  return std::abs(a) * 0.5;
+}
+
+// Sutherland–Hodgman clip of convex quad `sub` by convex quad `clip`;
+// both CCW. Returns intersection area.
+double quad_intersection_area(P2d sub[4], P2d clp[4]) {
+  // normalize both to CCW
+  auto signed_area = [](const P2d* p, int n) {
+    double a = 0;
+    for (int i = 0; i < n; ++i) {
+      const int j = (i + 1) % n;
+      a += p[i].x * p[j].y - p[j].x * p[i].y;
+    }
+    return a * 0.5;
+  };
+  if (signed_area(sub, 4) < 0) std::swap(sub[0], sub[3]), std::swap(sub[1], sub[2]);
+  if (signed_area(clp, 4) < 0) std::swap(clp[0], clp[3]), std::swap(clp[1], clp[2]);
+
+  P2d poly[16], next[16];
+  int n = 4;
+  for (int i = 0; i < 4; ++i) poly[i] = sub[i];
+  for (int e = 0; e < 4 && n > 0; ++e) {
+    const P2d a = clp[e];
+    const P2d b = clp[(e + 1) % 4];
+    int m = 0;
+    for (int i = 0; i < n; ++i) {
+      const P2d& p = poly[i];
+      const P2d& q = poly[(i + 1) % n];
+      const double ps = cross(a, b, p);
+      const double qs = cross(a, b, q);
+      if (ps >= 0) next[m++] = p;
+      if ((ps >= 0) != (qs >= 0) && ps != qs) {
+        const double t = ps / (ps - qs);
+        next[m].x = p.x + t * (q.x - p.x);
+        next[m].y = p.y + t * (q.y - p.y);
+        ++m;
+      }
+    }
+    n = m;
+    for (int i = 0; i < n; ++i) poly[i] = next[i];
+  }
+  if (n < 3) return 0.0;
+  return polygon_area(poly, n);
+}
+
+}  // namespace
+
+// --------------------------------------------------------------- rbbox_iou
+// boxes/qboxes: [N, 5] / [K, 5] (x, y, w, l, yaw) float32.
+// out: [N, K] float32. criterion: -1 IoU, 0 inter/areaN, 1 inter/areaK,
+// else raw intersection area. standup prefilter skips far pairs.
+void rbbox_iou(
+    const float* boxes, int64_t n, const float* qboxes, int64_t k,
+    float standup_thresh, int criterion, float* out) {
+  std::vector<P2d> ca(n * 4), cb(k * 4);
+  std::vector<double> sa(n * 4), sb(k * 4);  // standup: minx,miny,maxx,maxy
+  for (int64_t i = 0; i < n; ++i) {
+    box_corners(boxes + i * 5, &ca[i * 4]);
+    double mnx = 1e30, mny = 1e30, mxx = -1e30, mxy = -1e30;
+    for (int c = 0; c < 4; ++c) {
+      mnx = std::min(mnx, ca[i * 4 + c].x);
+      mny = std::min(mny, ca[i * 4 + c].y);
+      mxx = std::max(mxx, ca[i * 4 + c].x);
+      mxy = std::max(mxy, ca[i * 4 + c].y);
+    }
+    sa[i * 4] = mnx; sa[i * 4 + 1] = mny; sa[i * 4 + 2] = mxx; sa[i * 4 + 3] = mxy;
+  }
+  for (int64_t j = 0; j < k; ++j) {
+    box_corners(qboxes + j * 5, &cb[j * 4]);
+    double mnx = 1e30, mny = 1e30, mxx = -1e30, mxy = -1e30;
+    for (int c = 0; c < 4; ++c) {
+      mnx = std::min(mnx, cb[j * 4 + c].x);
+      mny = std::min(mny, cb[j * 4 + c].y);
+      mxx = std::max(mxx, cb[j * 4 + c].x);
+      mxy = std::max(mxy, cb[j * 4 + c].y);
+    }
+    sb[j * 4] = mnx; sb[j * 4 + 1] = mny; sb[j * 4 + 2] = mxx; sb[j * 4 + 3] = mxy;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const double area_i = (double)boxes[i * 5 + 2] * boxes[i * 5 + 3];
+    for (int64_t j = 0; j < k; ++j) {
+      out[i * k + j] = 0.f;
+      // standup IoU prefilter
+      const double iw = std::min(sa[i * 4 + 2], sb[j * 4 + 2]) -
+                        std::max(sa[i * 4], sb[j * 4]);
+      if (iw <= 0) continue;
+      const double ih = std::min(sa[i * 4 + 3], sb[j * 4 + 3]) -
+                        std::max(sa[i * 4 + 1], sb[j * 4 + 1]);
+      if (ih <= 0) continue;
+      const double a1 = (sa[i * 4 + 2] - sa[i * 4]) * (sa[i * 4 + 3] - sa[i * 4 + 1]);
+      const double a2 = (sb[j * 4 + 2] - sb[j * 4]) * (sb[j * 4 + 3] - sb[j * 4 + 1]);
+      const double standup_iou = iw * ih / (a1 + a2 - iw * ih);
+      if (standup_iou <= standup_thresh) continue;
+
+      P2d sub[4], clp[4];
+      std::memcpy(sub, &ca[i * 4], sizeof(sub));
+      std::memcpy(clp, &cb[j * 4], sizeof(clp));
+      const double inter = quad_intersection_area(sub, clp);
+      const double area_j = (double)qboxes[j * 5 + 2] * qboxes[j * 5 + 3];
+      double denom;
+      if (criterion == -1) denom = area_i + area_j - inter;
+      else if (criterion == 0) denom = area_i;
+      else if (criterion == 1) denom = area_j;
+      else denom = 1.0;
+      if (denom > 0) out[i * k + j] = (float)(inter / denom);
+    }
+  }
+}
+
+// ----------------------------------------------------------------- nms_cpu
+// Greedy standup NMS. boxes: [K, 4] (x1,y1,x2,y2) score-sorted desc.
+// keep: [K] uint8 out. Returns number kept.
+int nms_cpu(const float* boxes, int64_t k, float iou_threshold,
+            uint8_t* keep) {
+  for (int64_t i = 0; i < k; ++i) keep[i] = 1;
+  int n_kept = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    if (!keep[i]) continue;
+    ++n_kept;
+    const float* bi = boxes + i * 4;
+    const double ai = (double)(bi[2] - bi[0]) * (bi[3] - bi[1]);
+    for (int64_t j = i + 1; j < k; ++j) {
+      if (!keep[j]) continue;
+      const float* bj = boxes + j * 4;
+      const double iw = std::min(bi[2], bj[2]) - std::max(bi[0], bj[0]);
+      if (iw <= 0) continue;
+      const double ih = std::min(bi[3], bj[3]) - std::max(bi[1], bj[1]);
+      if (ih <= 0) continue;
+      const double aj = (double)(bj[2] - bj[0]) * (bj[3] - bj[1]);
+      const double iou = iw * ih / (ai + aj - iw * ih);
+      if (iou > iou_threshold) keep[j] = 0;
+    }
+  }
+  return n_kept;
+}
+
+// Greedy exact rotated NMS. rbboxes: [K, 5] score-sorted desc.
+int rotate_nms_cpu(const float* rbboxes, int64_t k, float iou_threshold,
+                   uint8_t* keep) {
+  std::vector<float> iou(k * k);
+  rbbox_iou(rbboxes, k, rbboxes, k, 0.0f, -1, iou.data());
+  for (int64_t i = 0; i < k; ++i) keep[i] = 1;
+  int n_kept = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    if (!keep[i]) continue;
+    ++n_kept;
+    for (int64_t j = i + 1; j < k; ++j) {
+      if (keep[j] && iou[i * k + j] > iou_threshold) keep[j] = 0;
+    }
+  }
+  return n_kept;
+}
+
+// -------------------------------------------------- points-in-polygon (3d)
+// points: [P, 3]; surfaces: [N, 6, 4, 3] (inward normals winding).
+// out: [P, N] uint8.
+void points_in_polygon3d(
+    const float* points, int64_t p,
+    const float* surfaces, int64_t n, uint8_t* out) {
+  std::vector<double> normals(n * 6 * 3), d(n * 6);
+  for (int64_t b = 0; b < n; ++b) {
+    for (int s = 0; s < 6; ++s) {
+      const float* sv = surfaces + ((b * 6 + s) * 4) * 3;
+      const double v0[3] = {sv[0] - sv[3], sv[1] - sv[4], sv[2] - sv[5]};
+      const double v1[3] = {sv[3] - sv[6], sv[4] - sv[7], sv[5] - sv[8]};
+      double* nrm = &normals[(b * 6 + s) * 3];
+      nrm[0] = v0[1] * v1[2] - v0[2] * v1[1];
+      nrm[1] = v0[2] * v1[0] - v0[0] * v1[2];
+      nrm[2] = v0[0] * v1[1] - v0[1] * v1[0];
+      d[b * 6 + s] =
+          -(nrm[0] * sv[0] + nrm[1] * sv[1] + nrm[2] * sv[2]);
+    }
+  }
+  for (int64_t i = 0; i < p; ++i) {
+    const float* pt = points + i * 3;
+    for (int64_t b = 0; b < n; ++b) {
+      uint8_t inside = 1;
+      for (int s = 0; s < 6; ++s) {
+        const double* nrm = &normals[(b * 6 + s) * 3];
+        const double sign = pt[0] * nrm[0] + pt[1] * nrm[1] +
+                            pt[2] * nrm[2] + d[b * 6 + s];
+        if (sign >= 0) { inside = 0; break; }
+      }
+      out[i * n + b] = inside;
+    }
+  }
+}
+
+// -------------------------------------------------------- collision test
+// boxes/qboxes: corner boxes [N, 4, 2] / [K, 4, 2] float32 (BEV).
+// out: [N, K] uint8 — edge intersection OR full containment.
+void box_collision_test(
+    const float* boxes, int64_t n, const float* qboxes, int64_t k,
+    uint8_t* out) {
+  auto standup = [](const float* c, double* s) {
+    s[0] = s[1] = 1e30; s[2] = s[3] = -1e30;
+    for (int i = 0; i < 4; ++i) {
+      s[0] = std::min(s[0], (double)c[i * 2]);
+      s[1] = std::min(s[1], (double)c[i * 2 + 1]);
+      s[2] = std::max(s[2], (double)c[i * 2]);
+      s[3] = std::max(s[3], (double)c[i * 2 + 1]);
+    }
+  };
+  auto seg_int = [](const float* A, const float* B, const float* C,
+                    const float* D) {
+    auto ccw = [](const float* p, const float* q, const float* r) {
+      return (double)(r[1] - p[1]) * (q[0] - p[0]) >
+             (double)(q[1] - p[1]) * (r[0] - p[0]);
+    };
+    return ccw(A, C, D) != ccw(B, C, D) && ccw(A, B, C) != ccw(A, B, D);
+  };
+  auto contains_all = [](const float* quad, const float* pts) {
+    // true if quad (any winding, checked clockwise per reference)
+    // strictly contains all 4 pts
+    for (int l = 0; l < 4; ++l) {
+      for (int c = 0; c < 4; ++c) {
+        const int c2 = (c + 1) % 4;
+        double vx = -(quad[c * 2] - quad[c2 * 2]);
+        double vy = -(quad[c * 2 + 1] - quad[c2 * 2 + 1]);
+        const double crossv =
+            vy * (quad[c * 2] - pts[l * 2]) -
+            vx * (quad[c * 2 + 1] - pts[l * 2 + 1]);
+        if (crossv >= 0) return false;
+      }
+    }
+    return true;
+  };
+  std::vector<double> sb(n * 4), sq(k * 4);
+  for (int64_t i = 0; i < n; ++i) standup(boxes + i * 8, &sb[i * 4]);
+  for (int64_t j = 0; j < k; ++j) standup(qboxes + j * 8, &sq[j * 4]);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* bi = boxes + i * 8;
+    for (int64_t j = 0; j < k; ++j) {
+      out[i * k + j] = 0;
+      const double iw = std::min(sb[i * 4 + 2], sq[j * 4 + 2]) -
+                        std::max(sb[i * 4], sq[j * 4]);
+      if (iw <= 0) continue;
+      const double ih = std::min(sb[i * 4 + 3], sq[j * 4 + 3]) -
+                        std::max(sb[i * 4 + 1], sq[j * 4 + 1]);
+      if (ih <= 0) continue;
+      const float* qj = qboxes + j * 8;
+      bool hit = false;
+      for (int a = 0; a < 4 && !hit; ++a) {
+        for (int b = 0; b < 4 && !hit; ++b) {
+          if (seg_int(bi + a * 2, bi + ((a + 1) % 4) * 2,
+                      qj + b * 2, qj + ((b + 1) % 4) * 2))
+            hit = true;
+        }
+      }
+      if (!hit) {
+        if (contains_all(bi, qj) || contains_all(qj, bi)) hit = true;
+      }
+      out[i * k + j] = hit ? 1 : 0;
+    }
+  }
+}
+
+}  // extern "C"

@@ -300,6 +300,23 @@ def points_in_convex_polygon_3d(
 ) -> np.ndarray:
     """[P, 3] points vs [N, 6, 4, 3] box surfaces → [P, N] bool
     (vectorized twin of the reference's numba geometry kernel)."""
+    try:
+        from papc_tpu import cc
+
+        if cc.available():
+            return cc.points_in_polygon3d(
+                np.asarray(points[:, :3], np.float32),
+                np.asarray(surfaces, np.float32),
+            )
+    except Exception:
+        pass
+    return _points_in_convex_polygon_3d_np(points, surfaces)
+
+
+def _points_in_convex_polygon_3d_np(
+    points: np.ndarray, surfaces: np.ndarray
+) -> np.ndarray:
+    """Pure-numpy fallback (also the cc parity oracle)."""
     normals, d = surface_normals(surfaces)
     sign = (
         np.einsum("pd,nsd->pns", points, normals) + d[None]
@@ -372,6 +389,28 @@ def _polygon_clip(subject: np.ndarray, clip: np.ndarray) -> float:
 
 
 def rotate_iou_cpu(
+    rbboxes: np.ndarray,
+    qrbboxes: np.ndarray,
+    standup_thresh: float = 0.0,
+    criterion: int = -1,
+) -> np.ndarray:
+    # native fast path (papc_cc, ~500x): same algorithm in C++
+    try:
+        from papc_tpu import cc
+
+        if cc.available():
+            return cc.rbbox_iou(
+                np.asarray(rbboxes, np.float32),
+                np.asarray(qrbboxes, np.float32),
+                standup_thresh,
+                criterion,
+            ).astype(np.float32)
+    except Exception:
+        pass
+    return _rotate_iou_cpu_np(rbboxes, qrbboxes, standup_thresh, criterion)
+
+
+def _rotate_iou_cpu_np(
     rbboxes: np.ndarray,
     qrbboxes: np.ndarray,
     standup_thresh: float = 0.0,

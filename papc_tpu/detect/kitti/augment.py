@@ -50,6 +50,25 @@ def box_collision_test(
     N, K = len(boxes), len(qboxes)
     if N == 0 or K == 0:
         return np.zeros((N, K), bool)
+    # native fast path (papc_cc)
+    try:
+        from papc_tpu import cc
+
+        if cc.available():
+            return cc.box_collision_test(
+                np.asarray(boxes, np.float32),
+                np.asarray(qboxes, np.float32),
+            )
+    except Exception:
+        pass
+    return _box_collision_test_np(boxes, qboxes, clockwise)
+
+
+def _box_collision_test_np(
+    boxes: np.ndarray, qboxes: np.ndarray, clockwise: bool = True
+) -> np.ndarray:
+    """Pure-numpy fallback (also the cc parity oracle)."""
+    N, K = len(boxes), len(qboxes)
     bs = box_np.corner_to_standup_nd(boxes)
     qs = box_np.corner_to_standup_nd(qboxes)
     iw = np.minimum(bs[:, None, 2], qs[None, :, 2]) - np.maximum(

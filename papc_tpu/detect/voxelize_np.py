@@ -50,6 +50,45 @@ def points_to_voxel(
       num_points_per_voxel ``[K]`` int32.
     """
     points = np.asarray(points)
+    # native fast path (papc_cc, ~12x): identical first-come semantics
+    if points.dtype == np.float32:
+        try:
+            from papc_tpu import cc
+
+            if cc.available():
+                voxels, coords, nppv = cc.points_to_voxel(
+                    points, voxel_size, point_cloud_range,
+                    max_points, max_voxels,
+                )
+                K = len(nppv)
+                if not reverse_index:
+                    coords = coords[:, ::-1]
+                if pad_output:
+                    D = points.shape[1]
+                    pv = np.zeros((max_voxels, max_points, D), np.float32)
+                    pc = np.zeros((max_voxels, 3), np.int32)
+                    pn = np.zeros((max_voxels,), np.int32)
+                    pv[:K], pc[:K], pn[:K] = voxels, coords, nppv
+                    return pv, pc, pn
+                return voxels, coords, nppv
+        except Exception:
+            pass
+    return _points_to_voxel_np(
+        points, voxel_size, point_cloud_range, max_points, max_voxels,
+        reverse_index, pad_output,
+    )
+
+
+def _points_to_voxel_np(
+    points,
+    voxel_size,
+    point_cloud_range,
+    max_points=35,
+    max_voxels=20000,
+    reverse_index=True,
+    pad_output=False,
+):
+    """Pure-numpy fallback (also the cc parity oracle)."""
     voxel_size = np.asarray(voxel_size, points.dtype)
     pc_range = np.asarray(point_cloud_range, points.dtype)
     grid = compute_grid_size(voxel_size, pc_range)  # [nx, ny, nz]

@@ -1,0 +1,119 @@
+"""Native extension (papc_cc) parity tests vs the numpy implementations."""
+
+import numpy as np
+import pytest
+
+from papc_tpu import cc
+from papc_tpu.detect import box_np
+from papc_tpu.detect.kitti import augment
+from papc_tpu.detect.voxelize_np import _points_to_voxel_np as np_points_to_voxel
+
+pytestmark = pytest.mark.skipif(
+    not cc.available(), reason="papc_cc build unavailable"
+)
+
+
+class TestVoxelize:
+    def test_matches_numpy(self, rng):
+        pts = rng.uniform(0, 4, (200, 4)).astype(np.float32)
+        pts[:, 2] /= 2
+        vsize = [0.5, 0.5, 1.0]
+        prange = [0, 0, 0, 4, 4, 2]
+        cv, ccoords, cn = cc.points_to_voxel(pts, vsize, prange, 8, 200)
+        nv, ncoords, nn = np_points_to_voxel(pts, vsize, prange, 8, 200)
+        np.testing.assert_array_equal(ccoords, ncoords)
+        np.testing.assert_array_equal(cn, nn)
+        np.testing.assert_allclose(cv, nv, atol=1e-6)
+
+    def test_first_come_cap(self):
+        pts = np.stack(
+            [np.full(6, 0.1), np.full(6, 0.1), np.full(6, 0.5),
+             np.arange(6, dtype=np.float32)], axis=1,
+        ).astype(np.float32)
+        v, c, n = cc.points_to_voxel(pts, [0.5, 0.5, 1], [0, 0, 0, 4, 4, 2],
+                                     3, 10)
+        np.testing.assert_array_equal(n, [3])
+        np.testing.assert_allclose(v[0, :, 3], [0, 1, 2])
+
+
+class TestRbboxIoU:
+    def test_matches_numpy(self, rng):
+        def rb(n):
+            return np.stack(
+                [rng.uniform(-5, 5, n), rng.uniform(-5, 5, n),
+                 rng.uniform(1, 3, n), rng.uniform(1, 4, n),
+                 rng.uniform(-np.pi, np.pi, n)], axis=1,
+            ).astype(np.float32)
+
+        a, b = rb(20), rb(15)
+        got = cc.rbbox_iou(a, b)
+        want = box_np._rotate_iou_cpu_np(a, b)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_criteria(self, rng):
+        big = np.array([[0.0, 0, 4, 4, 0.2]], np.float32)
+        small = np.array([[0.0, 0, 2, 2, 0.2]], np.float32)
+        np.testing.assert_allclose(
+            cc.rbbox_iou(big, small, criterion=1), [[1.0]], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            cc.rbbox_iou(big, small, criterion=2), [[4.0]], atol=1e-4
+        )
+
+
+class TestNMS:
+    def test_standup_matches(self, rng):
+        centers = rng.uniform(-5, 5, (40, 2))
+        wh = rng.uniform(1, 3, (40, 2))
+        boxes = np.concatenate(
+            [centers - wh / 2, centers + wh / 2], 1
+        ).astype(np.float32)
+        got = cc.nms(boxes, 0.3)
+        # oracle
+        iou = box_np.iou_2d(boxes, boxes)
+        want = np.ones(len(boxes), bool)
+        for i in range(len(boxes)):
+            if not want[i]:
+                continue
+            for j in range(i + 1, len(boxes)):
+                if iou[i, j] > 0.3:
+                    want[j] = False
+        np.testing.assert_array_equal(got, want)
+
+    def test_rotated(self):
+        rb = np.array(
+            [[0.0, 0, 2, 4, 0.0], [0.05, 0, 2, 4, 0.05],
+             [10.0, 10, 2, 4, 1.0]], np.float32,
+        )
+        np.testing.assert_array_equal(
+            cc.rotate_nms(rb, 0.5), [True, False, True]
+        )
+
+
+class TestGeometry:
+    def test_points_in_polygon(self, rng):
+        boxes = np.array(
+            [[0.0, 0, 0, 2, 2, 2, 0.3], [5.0, 5, 0, 1, 4, 1, -0.7]]
+        )
+        corners = box_np.center_to_corner_box3d(
+            boxes[:, :3], boxes[:, 3:6], boxes[:, 6]
+        )
+        surfaces = box_np.corner_to_surfaces_3d(corners)
+        pts = rng.uniform(-3, 8, (100, 3))
+        got = cc.points_in_polygon3d(pts, surfaces)
+        want = box_np._points_in_convex_polygon_3d_np(pts, surfaces)
+        np.testing.assert_array_equal(got, want)
+
+    def test_collision_matches(self, rng):
+        def corners(n):
+            xy = rng.uniform(-5, 5, (n, 2))
+            wl = rng.uniform(1, 3, (n, 2))
+            yaw = rng.uniform(-np.pi, np.pi, n)
+            return box_np.center_to_corner_box2d(xy, wl, yaw).astype(
+                np.float32
+            )
+
+        a, b = corners(15), corners(12)
+        got = cc.box_collision_test(a, b)
+        want = augment._box_collision_test_np(a, b)
+        np.testing.assert_array_equal(got, want)

@@ -1,0 +1,28 @@
+"""Pallas FPS kernel vs the jnp reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from papc_tpu.ops.pallas.fps import farthest_point_sample_pallas
+from papc_tpu.ops.sampling import farthest_point_sample
+
+
+@pytest.mark.parametrize("npoint", [1, 8, 64])
+def test_matches_jnp_reference(rng, npoint):
+    xyz = jnp.asarray(rng.randn(2, 128, 3), jnp.float32)
+    want = np.asarray(farthest_point_sample(xyz, npoint, start_idx=0))
+    got = np.asarray(
+        farthest_point_sample_pallas(xyz, npoint, 0, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_start_idx_respected(rng):
+    xyz = jnp.asarray(rng.randn(3, 64, 3), jnp.float32)
+    got = np.asarray(
+        farthest_point_sample_pallas(xyz, 4, 7, interpret=True)
+    )
+    np.testing.assert_array_equal(got[:, 0], [7, 7, 7])
+    want = np.asarray(farthest_point_sample(xyz, 4, start_idx=7))
+    np.testing.assert_array_equal(got, want)

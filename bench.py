@@ -3,11 +3,13 @@
 Primary metric (per BASELINE.md): ShapeNet classification training
 throughput in points/sec/chip on the flagship PointNet++ SSG model at the
 reference's default scale (batch 32, 1024 points, 16 classes — reference
-root ``train.py:5-16``).
+root ``train.py:5-16``). ``extra`` carries the other BASELINE.md metrics:
+PointNet++ SSG epoch time (synthetic ShapeNet-sized epoch) and pillarize
+ms/frame (full-KITTI-scale cloud through the native voxelizer).
 
 Baseline: the reference publishes no numbers and cannot run here
-(Paddle+CUDA). BASELINE.md's documented lower-bound estimate for the
-CUDA-Paddle reference is ~65k points/sec: its FPS alone serializes
+(Paddle+CUDA). BASELINE.md documents a ~65k points/sec lower-bound
+estimate for the CUDA-Paddle reference: its FPS alone serializes
 npoint host↔device round-trips per SA layer (640 per forward at these
 sizes — ``pointnet2_basic_layers.py:65-95``), bounding a train step near
 ~0.5 s. ``vs_baseline`` is measured-points-per-sec / 65536.
@@ -18,11 +20,24 @@ import time
 
 import numpy as np
 
-BASELINE_POINTS_PER_SEC = 65536.0  # documented estimate, see module docstring
+BASELINE_POINTS_PER_SEC = 65536.0  # documented estimate, see docstring
 B, N = 32, 1024
+SHAPENET_TRAIN_SAMPLES = 12137  # 6 train shards of the ShapeNet h5 set
 
 
-def main():
+def _median_time(fn, block, steps=20, repeats=3):
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(steps):
+            out = fn()
+        block(out)
+        times.append((time.perf_counter() - t0) / steps)
+    return float(np.median(times))
+
+
+def bench_train_step():
     import jax
     import jax.numpy as jnp
 
@@ -40,30 +55,66 @@ def main():
     state = create_train_state(spec, rng, batch)
     train_step, _ = make_train_step(spec)
 
+    holder = {"state": state}
+
+    def step():
+        s, loss, _ = train_step(holder["state"], batch, rng)
+        holder["state"] = s
+        return loss
+
     # warmup / compile
-    state, loss, _ = train_step(state, batch, rng)
-    loss.block_until_ready()
+    step().block_until_ready()
+    dt = _median_time(step, lambda x: x.block_until_ready())
+    return dt
 
-    steps = 20
+
+def bench_pillarize():
+    """Full-KITTI-scale cloud → pillars, host native voxelizer
+    (reference numba claim: ~4.2 ms, ``point_cloud_ops.py:113-115``)."""
+    rs = np.random.RandomState(0)
+    pts = np.stack(
+        [
+            rs.uniform(0, 69.12, 120000),
+            rs.uniform(-39.68, 39.68, 120000),
+            rs.uniform(-3, 1, 120000),
+            rs.rand(120000),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    from papc_tpu.detect.voxelize_np import points_to_voxel
+
+    args = ([0.16, 0.16, 4.0], [0, -39.68, -3, 69.12, 39.68, 1], 100, 12000)
+    points_to_voxel(pts, *args)  # warmup
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss, _ = train_step(state, batch, rng)
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / steps
+    reps = 20
+    for _ in range(reps):
+        points_to_voxel(pts, *args)
+    return (time.perf_counter() - t0) / reps
 
-    pts_per_sec = B * N / dt
+
+def main():
+    import jax
+
+    step_time = bench_train_step()
+    pts_per_sec = B * N / step_time
+    epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
+    pillarize_ms = bench_pillarize() * 1e3
     print(
         json.dumps(
             {
                 "metric": "shapenet_clas_points_per_sec_per_chip",
                 "value": round(pts_per_sec, 1),
                 "unit": "points/sec",
-                "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 2),
+                "vs_baseline": round(
+                    pts_per_sec / BASELINE_POINTS_PER_SEC, 2
+                ),
                 "extra": {
                     "model": "pointnet2_ssg",
                     "batch": B,
                     "points": N,
-                    "step_ms": round(dt * 1e3, 2),
+                    "step_ms": round(step_time * 1e3, 3),
+                    "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
+                    "pillarize_ms_per_frame": round(pillarize_ms, 3),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -72,7 +72,7 @@ def sharded_ball_query(
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None, None, None)),
         out_specs=P(None, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(xyz, new_xyz)
 
@@ -146,6 +146,6 @@ def sharded_fps(
         mesh=mesh,
         in_specs=(P(None, axis, None),),
         out_specs=P(None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(xyz)

@@ -65,6 +65,11 @@ def example_to_device_batch(example: dict) -> dict:
 
 
 def make_detection_train_step(model, loss_cfg):
+    from papc_tpu.train.running_metrics import (
+        AccuracyState,
+        PrecisionRecallState,
+    )
+
     def loss_fn(params, batch_stats, batch):
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -81,18 +86,38 @@ def make_detection_train_step(model, loss_cfg):
             batch["anchors"],
             loss_cfg,
         )
-        return loss, (metrics, mutated["batch_stats"])
+        return loss, (metrics, preds, mutated["batch_stats"])
 
     @jax.jit
-    def train_step(state: TrainState, batch: dict):
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+    def train_step(state: TrainState, batch: dict, rm: dict):
+        (loss, (metrics, preds, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
-        return state, metrics
+        # running RPN metrics (reference update_metrics,
+        # detectors/pointpillars.py:420-457)
+        B = batch["labels"].shape[0]
+        ncls = (
+            loss_cfg.num_class
+            if loss_cfg.encode_background_as_zeros
+            else loss_cfg.num_class + 1
+        )
+        cls_preds = preds["cls_preds"].reshape(B, -1, ncls)
+        rm = {
+            "acc": rm["acc"].update(batch["labels"], cls_preds),
+            "pr": rm["pr"].update(batch["labels"], cls_preds),
+        }
+        metrics["rpn_acc"] = rm["acc"].value
+        return state, metrics, rm
 
-    return train_step
+    def init_running_metrics():
+        return {
+            "acc": AccuracyState.create(),
+            "pr": PrecisionRecallState.create(),
+        }
+
+    return train_step, init_running_metrics
 
 
 def make_predict_step(model, predict_cfg, box_coder):
@@ -270,7 +295,8 @@ def train(
         log(f"resumed from step {int(state.step)}")
     state = replicate(mesh, state)
 
-    train_step = make_detection_train_step(model, loss_cfg)
+    train_step, init_rm = make_detection_train_step(model, loss_cfg)
+    running = init_rm()
     predict_step = make_predict_step(model, predict_cfg, box_coder)
 
     step = int(state.step)
@@ -284,13 +310,21 @@ def train(
                 batch = shard_batch(
                     mesh, example_to_device_batch(example)
                 )
-                state, metrics = train_step(state, batch)
+                state, metrics, running = train_step(
+                    state, batch, running
+                )
                 step += 1
                 if step % display_step == 0:
                     m = {
                         k: round(float(v), 5)
                         for k, v in metrics.items()
                     }
+                    m["rpn_prec@0.5"] = round(
+                        float(running["pr"].precision[2]), 4
+                    )
+                    m["rpn_rec@0.5"] = round(
+                        float(running["pr"].recall[2]), 4
+                    )
                     m["step"] = step
                     m["steptime"] = round(time.time() - t_step, 4)
                     line = ", ".join(f"{k}={v}" for k, v in
@@ -388,12 +422,94 @@ def _write_result_files(annos, result_path):
         path.write_text("\n".join(lines) + ("\n" if lines else ""))
 
 
+def evaluate_checkpoint(
+    cfg_file: str | None = None,
+    model_dir: str = "./ppmodel",
+    result_path: str | None = None,
+    cfg_overrides: list | None = None,
+    with_map: bool = True,
+    log=print,
+):
+    """Evaluate the latest checkpoint: predictions → KITTI annos →
+    official mAP (the reference's commented-out eval loop,
+    ``train.py:278-322``, as a working entry point)."""
+    from papc_tpu.detect.config import DEFAULT_CONFIG_PATH
+
+    cfg = cfg_from_yaml_file(cfg_file or DEFAULT_CONFIG_PATH)
+    if cfg_overrides:
+        cfg_from_list(cfg, cfg_overrides)
+    voxel_generator = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
+    box_coder = builders.build_box_coder(cfg.BOX_CODER)
+    target_assigner = builders.build_target_assigner(
+        cfg.TARGET_ASSIGNER, box_coder
+    )
+    model = builders.build_network(cfg, voxel_generator, target_assigner)
+    predict_cfg = builders.build_predict_config(cfg, target_assigner)
+    eval_ds = builders.build_dataset(
+        cfg, cfg.EVAL_INPUT_READER, voxel_generator, target_assigner,
+        training=False, log=log,
+    )
+
+    example0 = collate_batch([eval_ds[0]])
+    batch0 = example_to_device_batch(example0)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, batch0["voxels"], batch0["num_points"],
+        batch0["coordinates"], train=False,
+    )
+    tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    target = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "step": state.step,
+    }
+    restored = ckpt_lib.try_restore_latest(model_dir, "pointpillars", target)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found in {model_dir}")
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        step=restored["step"],
+    )
+    log(f"evaluating checkpoint at step {int(state.step)}")
+    predict_step = make_predict_step(model, predict_cfg, box_coder)
+    annos = evaluate(
+        model, state, predict_step, eval_ds, cfg, predict_cfg, log=log
+    )
+    if result_path:
+        os.makedirs(result_path, exist_ok=True)
+        _write_result_files(annos, result_path)
+    if with_map:
+        from papc_tpu.eval.kitti_eval import get_official_eval_result
+
+        gt_annos = [
+            info["annos"]
+            for info in eval_ds.kitti_infos
+            if "annos" in info
+        ]
+        if len(gt_annos) == len(annos):
+            result = get_official_eval_result(
+                gt_annos, annos,
+                list(cfg.EVAL_INPUT_READER.CLASS_NAMES)[0],
+            )
+            log(result)
+            return annos, result
+    return annos, None
+
+
 def main():
     import argparse
 
     parser = argparse.ArgumentParser(description="PointPillars training")
-    parser.add_argument("command", choices=["train"], nargs="?",
-                        default="train")
+    parser.add_argument("command", choices=["train", "evaluate"],
+                        nargs="?", default="train")
     parser.add_argument("--cfg_file", default=None)
     parser.add_argument("--model_dir", default="./ppmodel")
     parser.add_argument("--result_path", default=None)
@@ -404,14 +520,22 @@ def main():
         help="dotted config overrides: KEY VALUE [KEY VALUE ...]",
     )
     args = parser.parse_args()
-    train(
-        cfg_file=args.cfg_file,
-        model_dir=args.model_dir,
-        result_path=args.result_path,
-        cfg_overrides=args.set_cfgs,
-        max_steps=args.max_steps,
-        display_step=args.display_step,
-    )
+    if args.command == "evaluate":
+        evaluate_checkpoint(
+            cfg_file=args.cfg_file,
+            model_dir=args.model_dir,
+            result_path=args.result_path,
+            cfg_overrides=args.set_cfgs,
+        )
+    else:
+        train(
+            cfg_file=args.cfg_file,
+            model_dir=args.model_dir,
+            result_path=args.result_path,
+            cfg_overrides=args.set_cfgs,
+            max_steps=args.max_steps,
+            display_step=args.display_step,
+        )
 
 
 if __name__ == "__main__":

@@ -95,6 +95,10 @@ def bench_pillarize():
 def main():
     import jax
 
+    from papc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     step_time = bench_train_step()
     pts_per_sec = B * N / step_time
     epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)

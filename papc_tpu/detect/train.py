@@ -231,6 +231,9 @@ def train(
 ):
     """Train PointPillars from a YAML experiment config."""
     from papc_tpu.detect.config import DEFAULT_CONFIG_PATH
+    from papc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = cfg_from_yaml_file(cfg_file or DEFAULT_CONFIG_PATH)
     if cfg_overrides:
@@ -434,6 +437,9 @@ def evaluate_checkpoint(
     official mAP (the reference's commented-out eval loop,
     ``train.py:278-322``, as a working entry point)."""
     from papc_tpu.detect.config import DEFAULT_CONFIG_PATH
+    from papc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = cfg_from_yaml_file(cfg_file or DEFAULT_CONFIG_PATH)
     if cfg_overrides:

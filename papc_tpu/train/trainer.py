@@ -197,6 +197,9 @@ def train(
     tests and by the kd/voxel data paths); default is the ShapeNet h5
     pipeline.
     """
+    from papc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     spec = init_model(model_name, mode, num_classes, num_parts, max_point)
 
     if make_loader is None:

@@ -92,6 +92,83 @@ def bench_pillarize():
     return (time.perf_counter() - t0) / reps
 
 
+def bench_pointpillars_step():
+    """Full-KITTI-scale PointPillars train step (B=2, 12k pillars,
+    432x496 BEV grid — the reference config's exact workload)."""
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.detect import builders
+    from papc_tpu.detect.config import (
+        DEFAULT_CONFIG_PATH,
+        cfg_from_yaml_file,
+    )
+    from papc_tpu.detect.train import make_detection_train_step
+    from papc_tpu.train.trainer import TrainState
+
+    cfg = cfg_from_yaml_file(DEFAULT_CONFIG_PATH)
+    vg = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
+    coder = builders.build_box_coder(cfg.BOX_CODER)
+    ta = builders.build_target_assigner(cfg.TARGET_ASSIGNER, coder)
+    model = builders.build_network(cfg, vg, ta)
+    loss_cfg = builders.build_loss_config(cfg, ta)
+    Bd, V, P = 2, 12000, 100
+    grid = vg.grid_size
+    A = (grid[0] // 2) * (grid[1] // 2) * 2
+    rs = np.random.RandomState(0)
+    batch = {
+        "voxels": jnp.asarray(rs.randn(Bd, V, P, 4), jnp.float32),
+        "num_points": jnp.asarray(
+            rs.randint(1, P, size=(Bd, V)), jnp.int32
+        ),
+        "coordinates": jnp.asarray(
+            np.stack(
+                [
+                    np.zeros((Bd, V)),
+                    rs.randint(0, grid[1], (Bd, V)),
+                    rs.randint(0, grid[0], (Bd, V)),
+                ],
+                -1,
+            ),
+            jnp.int32,
+        ),
+        "anchors": jnp.asarray(
+            np.tile(
+                np.array([0.0, 0, -1, 1.6, 3.9, 1.56, 0], np.float32),
+                (Bd, A, 1),
+            )
+        ),
+        "labels": jnp.asarray(
+            rs.randint(-1, 2, size=(Bd, A)), jnp.int32
+        ),
+        "reg_targets": jnp.asarray(
+            rs.randn(Bd, A, 7) * 0.1, jnp.float32
+        ),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, batch["voxels"], batch["num_points"],
+        batch["coordinates"], train=False,
+    )
+    tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    train_step, init_rm = make_detection_train_step(model, loss_cfg)
+    holder = {"s": state, "rm": init_rm()}
+
+    def step():
+        s, m, rm = train_step(holder["s"], batch, holder["rm"])
+        holder["s"], holder["rm"] = s, rm
+        return m["loss"]
+
+    step().block_until_ready()
+    return _median_time(step, lambda x: x.block_until_ready(), steps=10)
+
+
 def main():
     import jax
 
@@ -99,6 +176,7 @@ def main():
 
     enable_persistent_cache()
 
+    pp_step = bench_pointpillars_step()
     step_time = bench_train_step()
     pts_per_sec = B * N / step_time
     epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
@@ -119,6 +197,7 @@ def main():
                     "step_ms": round(step_time * 1e3, 3),
                     "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
                     "pillarize_ms_per_frame": round(pillarize_ms, 3),
+                    "pointpillars_step_ms": round(pp_step * 1e3, 3),
                     "device": str(jax.devices()[0]),
                 },
             }

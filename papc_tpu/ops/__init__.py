@@ -10,7 +10,10 @@ from papc_tpu.ops.grouping import (
     sample_and_group_all,
 )
 from papc_tpu.ops.interpolate import three_nn_interpolate
+from papc_tpu.ops.iou import box5_to_corners, iou_2d, rotate_iou
+from papc_tpu.ops.nms import greedy_suppress, nms, rotate_nms
 from papc_tpu.ops.sampling import farthest_point_sample
+from papc_tpu.ops.voxelize import VoxelizedPoints, scatter_to_bev, voxelize
 
 __all__ = [
     "square_distance",
@@ -22,4 +25,13 @@ __all__ = [
     "sample_and_group",
     "sample_and_group_all",
     "three_nn_interpolate",
+    "voxelize",
+    "scatter_to_bev",
+    "VoxelizedPoints",
+    "iou_2d",
+    "rotate_iou",
+    "box5_to_corners",
+    "nms",
+    "rotate_nms",
+    "greedy_suppress",
 ]

@@ -328,6 +328,10 @@ def build_prep_func(
         remove_points_after_sample=bool(
             r.get("REMOVE_POINTS_AFTER_SAMPLE", True)
         ),
+        device_voxelize=bool(cfg.MODEL.get("DEVICE_PILLARIZE", False)),
+        max_points_per_frame=int(
+            r.get("MAX_POINTS_PER_FRAME", 25000)
+        ),
         rng=rng,
     )
 

@@ -66,8 +66,18 @@ def prep_pointcloud(
     anchor_cache=None,
     out_size_factor=2,
     rng: np.random.RandomState | None = None,
+    device_voxelize: bool = False,
+    max_points_per_frame: int = 25000,
 ):
-    """One sample: augment → voxelize (static shape) → anchors → targets."""
+    """One sample: augment → voxelize (static shape) → anchors → targets.
+
+    With ``device_voxelize`` the example carries the raw (padded) point
+    cloud instead of host-built pillars — ~10x less host→device traffic
+    (padded pillar tensors are mostly zeros) — and the jitted train step
+    runs :func:`papc_tpu.ops.voxelize` on device. The anchors mask is
+    then derived from point cell occupancy (identical to the reference's
+    voxel-count SAT for pillar grids, where each BEV cell holds at most
+    one voxel)."""
     rng = rng or np.random.RandomState()
     class_names = list(class_names)
     points = input_dict["points"]
@@ -163,35 +173,72 @@ def prep_pointcloud(
     pc_range = voxel_generator.point_cloud_range
     grid_size = voxel_generator.grid_size
 
-    from papc_tpu.detect.voxelize_np import points_to_voxel
+    if device_voxelize:
+        # emit the padded raw cloud; pillarization happens in the jitted
+        # step (papc_tpu.ops.voxelize)
+        n = min(len(points), max_points_per_frame)
+        pts = np.zeros(
+            (max_points_per_frame, points.shape[1]), np.float32
+        )
+        pts[:n] = points[:n]
+        pmask = np.zeros(max_points_per_frame, bool)
+        pmask[:n] = True
+        # cell occupancy for the anchors mask (voxel-count equivalent)
+        cell = np.floor(
+            (points[:n, :3] - pc_range[:3]) / voxel_size
+        ).astype(np.int64)
+        ok = ((cell >= 0) & (cell < grid_size[None, :])).all(axis=1)
+        cell = cell[ok]
+        lin = (
+            cell[:, 2] * grid_size[1] * grid_size[0]
+            + cell[:, 1] * grid_size[0]
+            + cell[:, 0]
+        )
+        uniq = np.unique(lin)
+        cz = uniq // (grid_size[1] * grid_size[0])
+        rem = uniq % (grid_size[1] * grid_size[0])
+        occupied_coords = np.stack(
+            [cz, rem // grid_size[0], rem % grid_size[0]], axis=1
+        ).astype(np.int32)
+        example = {
+            "points": pts,
+            "points_mask": pmask,
+            "rect": rect,
+            "Trv2c": Trv2c,
+            "P2": P2,
+        }
+        coordinates = occupied_coords
+        num_voxels = len(occupied_coords)
+    else:
+        from papc_tpu.detect.voxelize_np import points_to_voxel
 
-    voxels, coordinates, num_points = points_to_voxel(
-        points,
-        voxel_size,
-        pc_range,
-        voxel_generator.max_num_points,
-        max_voxels,
-        pad_output=True,
+        voxels, coordinates, num_points = points_to_voxel(
+            points,
+            voxel_size,
+            pc_range,
+            voxel_generator.max_num_points,
+            max_voxels,
+            pad_output=True,
+        )
+        num_voxels = int((num_points > 0).sum())
+        # mark padding rows invalid for the device scatter
+        coordinates = coordinates.copy()
+        coordinates[num_voxels:] = -1
+        example = {
+            "voxels": voxels,
+            "num_points": num_points,
+            "coordinates": coordinates,
+            "num_voxels": np.array([num_voxels], dtype=np.int64),
+            "rect": rect,
+            "Trv2c": Trv2c,
+            "P2": P2,
+        }
+    example["image_idx"] = np.array(
+        input_dict.get("image_idx", 0), dtype=np.int64
     )
-    num_voxels = int((num_points > 0).sum())
-    # mark padding rows invalid for the device scatter
-    coordinates = coordinates.copy()
-    coordinates[num_voxels:] = -1
-    example = {
-        "voxels": voxels,
-        "num_points": num_points,
-        "coordinates": coordinates,
-        "num_voxels": np.array([num_voxels], dtype=np.int64),
-        "rect": rect,
-        "Trv2c": Trv2c,
-        "P2": P2,
-        "image_idx": np.array(
-            input_dict.get("image_idx", 0), dtype=np.int64
-        ),
-        "image_shape": np.asarray(
-            input_dict.get("image_shape", (375, 1242)), dtype=np.int32
-        ),
-    }
+    example["image_shape"] = np.asarray(
+        input_dict.get("image_shape", (375, 1242)), dtype=np.int32
+    )
 
     feature_map_size = grid_size[:2] // out_size_factor
     feature_map_size = [*feature_map_size, 1][::-1]

@@ -50,12 +50,19 @@ def flat_nested_json_dict(json_dict, sep=".") -> dict:
 
 def example_to_device_batch(example: dict) -> dict:
     """Select the tensors the jitted step consumes."""
-    batch = {
-        "voxels": example["voxels"].astype(np.float32),
-        "num_points": example["num_points"].astype(np.int32),
-        "coordinates": example["coordinates"].astype(np.int32),
-        "anchors": example["anchors"].astype(np.float32),
-    }
+    if "points" in example:  # device-pillarize path: ship raw clouds
+        batch = {
+            "points": example["points"].astype(np.float32),
+            "points_mask": example["points_mask"].astype(bool),
+            "anchors": example["anchors"].astype(np.float32),
+        }
+    else:
+        batch = {
+            "voxels": example["voxels"].astype(np.float32),
+            "num_points": example["num_points"].astype(np.int32),
+            "coordinates": example["coordinates"].astype(np.int32),
+            "anchors": example["anchors"].astype(np.float32),
+        }
     if "labels" in example:
         batch["labels"] = example["labels"].astype(np.int32)
         batch["reg_targets"] = example["reg_targets"].astype(np.float32)
@@ -64,18 +71,54 @@ def example_to_device_batch(example: dict) -> dict:
     return batch
 
 
-def make_detection_train_step(model, loss_cfg):
+def make_pillarizer(voxel_generator, max_voxels: int):
+    """Device-side pillarization (papc_tpu.ops.voxelize, vmapped) for
+    batches that carry raw points instead of host-built pillars."""
+    from papc_tpu.ops import voxelize
+
+    vsize = tuple(float(v) for v in voxel_generator.voxel_size)
+    prange = tuple(
+        float(v) for v in voxel_generator.point_cloud_range
+    )
+    grid = tuple(int(g) for g in voxel_generator.grid_size)
+    max_points = int(voxel_generator.max_num_points)
+
+    def pillarize(batch):
+        if "points" not in batch:
+            return (
+                batch["voxels"],
+                batch["num_points"],
+                batch["coordinates"],
+            )
+        out = jax.vmap(
+            lambda p, m: voxelize(
+                p, m, vsize, prange, grid, max_points, max_voxels
+            )
+        )(batch["points"], batch["points_mask"])
+        return out.voxels, out.num_points, out.coords
+
+    return pillarize
+
+
+def make_detection_train_step(model, loss_cfg, pillarize=None):
     from papc_tpu.train.running_metrics import (
         AccuracyState,
         PrecisionRecallState,
     )
 
     def loss_fn(params, batch_stats, batch):
+        if pillarize is not None:
+            voxels, num_points, coords = pillarize(batch)
+        else:
+            voxels, num_points, coords = (
+                batch["voxels"], batch["num_points"],
+                batch["coordinates"],
+            )
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["voxels"],
-            batch["num_points"],
-            batch["coordinates"],
+            voxels,
+            num_points,
+            coords,
             train=True,
             mutable=["batch_stats"],
         )
@@ -120,14 +163,21 @@ def make_detection_train_step(model, loss_cfg):
     return train_step, init_running_metrics
 
 
-def make_predict_step(model, predict_cfg, box_coder):
+def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
     @jax.jit
     def predict_step(state: TrainState, batch: dict):
+        if pillarize is not None:
+            voxels, num_points, coords = pillarize(batch)
+        else:
+            voxels, num_points, coords = (
+                batch["voxels"], batch["num_points"],
+                batch["coordinates"],
+            )
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["voxels"],
-            batch["num_points"],
-            batch["coordinates"],
+            voxels,
+            num_points,
+            coords,
             train=False,
         )
         return predict(
@@ -268,11 +318,21 @@ def train(
     mesh = make_mesh_for_batch(batch_size)
     example0 = collate_batch([train_ds[0]])
     batch0 = example_to_device_batch(example0)
-    rng = jax.random.PRNGKey(seed)
-    variables = model.init(
-        rng, batch0["voxels"], batch0["num_points"],
-        batch0["coordinates"], train=False,
+    pillarize = (
+        make_pillarizer(
+            voxel_generator, int(cfg.VOXEL_GENERATOR.MAX_VOXELS)
+        )
+        if "points" in batch0
+        else None
     )
+    v0, n0, c0 = (
+        pillarize(batch0)
+        if pillarize is not None
+        else (batch0["voxels"], batch0["num_points"],
+              batch0["coordinates"])
+    )
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, v0, n0, c0, train=False)
     tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
     state = TrainState.create(
         apply_fn=model.apply,
@@ -298,21 +358,28 @@ def train(
         log(f"resumed from step {int(state.step)}")
     state = replicate(mesh, state)
 
-    train_step, init_rm = make_detection_train_step(model, loss_cfg)
+    train_step, init_rm = make_detection_train_step(
+        model, loss_cfg, pillarize
+    )
     running = init_rm()
-    predict_step = make_predict_step(model, predict_cfg, box_coder)
+    predict_step = make_predict_step(
+        model, predict_cfg, box_coder, pillarize
+    )
 
     step = int(state.step)
     last_save = time.time()
     t_step = time.time()
+    from papc_tpu.data.prefetch import prefetch_to_device
+    from papc_tpu.parallel.mesh import data_sharding
+
     try:
         while step < total_steps:
-            for example in _iter_batches(
-                train_ds, batch_size, True, rng_np
+            for batch in prefetch_to_device(
+                _iter_batches(train_ds, batch_size, True, rng_np),
+                size=2,
+                transform=example_to_device_batch,
+                sharding=data_sharding(mesh),
             ):
-                batch = shard_batch(
-                    mesh, example_to_device_batch(example)
-                )
                 state, metrics, running = train_step(
                     state, batch, running
                 )
@@ -458,11 +525,21 @@ def evaluate_checkpoint(
 
     example0 = collate_batch([eval_ds[0]])
     batch0 = example_to_device_batch(example0)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(
-        rng, batch0["voxels"], batch0["num_points"],
-        batch0["coordinates"], train=False,
+    pillarize = (
+        make_pillarizer(
+            voxel_generator, int(cfg.VOXEL_GENERATOR.MAX_VOXELS)
+        )
+        if "points" in batch0
+        else None
     )
+    v0, n0, c0 = (
+        pillarize(batch0)
+        if pillarize is not None
+        else (batch0["voxels"], batch0["num_points"],
+              batch0["coordinates"])
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, v0, n0, c0, train=False)
     tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
     state = TrainState.create(
         apply_fn=model.apply,
@@ -485,7 +562,9 @@ def evaluate_checkpoint(
         step=restored["step"],
     )
     log(f"evaluating checkpoint at step {int(state.step)}")
-    predict_step = make_predict_step(model, predict_cfg, box_coder)
+    predict_step = make_predict_step(
+        model, predict_cfg, box_coder, pillarize
+    )
     annos = evaluate(
         model, state, predict_step, eval_ds, cfg, predict_cfg, log=log
     )

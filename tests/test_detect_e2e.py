@@ -121,6 +121,32 @@ def test_detection_train_and_eval(kitti_root, tiny_cfg, tmp_path):
     assert "3d   AP:" in result
 
 
+def test_detection_train_device_pillarize(kitti_root, tiny_cfg, tmp_path):
+    """DEVICE_PILLARIZE=true: raw clouds ship to device; pillarization
+    happens inside the jitted step via ops.voxelize."""
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load(open(tiny_cfg))
+    cfg["MODEL"]["DEVICE_PILLARIZE"] = True
+    for reader in ("TRAIN_INPUT_READER", "EVAL_INPUT_READER"):
+        cfg[reader]["MAX_POINTS_PER_FRAME"] = 4096
+    path = tmp_path / "dv.yaml"
+    path.write_text(_yaml.safe_dump(cfg))
+
+    from papc_tpu.detect.train import train
+
+    state, annos = train(
+        cfg_file=str(path),
+        model_dir=str(tmp_path / "model"),
+        max_steps=4,
+        display_step=2,
+        eval_on_finish=True,
+        log=lambda s: None,
+    )
+    assert int(state.step) == 4
+    assert annos is not None and len(annos) == 2
+
+
 def _make_annos(rng, n_frames=10, n_boxes=5):
     """In-memory GT annos with enough boxes for dense recall sampling
     (the official 41-point threshold selection needs ~40+ GT to saturate

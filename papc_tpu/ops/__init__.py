@@ -6,6 +6,7 @@ from papc_tpu.ops.geometry import index_points, pc_normalize, square_distance
 from papc_tpu.ops.grouping import (
     knn,
     query_ball_point,
+    query_ball_point_tiled,
     sample_and_group,
     sample_and_group_all,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "pc_normalize",
     "farthest_point_sample",
     "query_ball_point",
+    "query_ball_point_tiled",
     "knn",
     "sample_and_group",
     "sample_and_group_all",

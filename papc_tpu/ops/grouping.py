@@ -50,6 +50,35 @@ def query_ball_point(
     return jnp.minimum(group_idx, N - 1)
 
 
+def query_ball_point_tiled(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    query_chunk: int = 256,
+) -> jax.Array:
+    """Memory-bounded ball query for LARGE clouds.
+
+    Identical semantics to :func:`query_ball_point`, but the
+    ``[B, S, N]`` distance matrix is streamed in query chunks via
+    ``lax.map`` so peak memory is ``O(B * query_chunk * N)`` — the
+    blockwise treatment of the reference's O(S*N) memory pain point
+    (SURVEY §5.7; reference ``pointnet2_basic_layers.py:110-117``).
+    """
+    B, S, C = new_xyz.shape
+    pad = (-S) % query_chunk
+    q = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (S + pad) // query_chunk
+    q = q.reshape(B, n_chunks, query_chunk, C).transpose(1, 0, 2, 3)
+
+    def chunk_fn(qc):  # [B, query_chunk, 3]
+        return query_ball_point(radius, nsample, xyz, qc)
+
+    out = lax.map(chunk_fn, q)  # [n_chunks, B, query_chunk, nsample]
+    out = out.transpose(1, 0, 2, 3).reshape(B, S + pad, nsample)
+    return out[:, :S]
+
+
 def knn(k: int, xyz: jax.Array, new_xyz: jax.Array):
     """k nearest neighbors of each query.
 

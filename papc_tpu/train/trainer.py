@@ -223,13 +223,21 @@ def train(
     state = replicate(mesh, state)
     train_step, eval_step = make_train_step(spec, num_parts)
 
+    from papc_tpu.data.prefetch import prefetch_to_device
+    from papc_tpu.parallel.mesh import data_sharding
+
     history = []
     step_count = 0
     for epoch in range(epoch_num):
         log("=" * 35 + "train" + "=" * 43)
         t0 = time.time()
-        for batch_id, raw in enumerate(train_loader()):
-            batch = shard_batch(mesh, _as_batch_dict(spec, raw))
+        batches = prefetch_to_device(
+            train_loader(),
+            size=2,
+            transform=lambda raw: _as_batch_dict(spec, raw),
+            sharding=data_sharding(mesh),
+        )
+        for batch_id, batch in enumerate(batches):
             rng, drop_rng = jax.random.split(rng)
             state, loss, metric = train_step(state, batch, drop_rng)
             if batch_id % info_iter == 0:

@@ -151,3 +151,16 @@ class TestSampleAndGroup:
         np.testing.assert_array_equal(
             np.asarray(new_points[:, 0, :, :3]), np.asarray(xyz)
         )
+
+
+class TestQueryBallPointTiled:
+    def test_matches_untiled(self, rng):
+        from papc_tpu.ops import query_ball_point_tiled
+
+        xyz = jnp.asarray(make_cloud(rng, 2, 200))
+        centers = xyz[:, ::4, :]  # S=50, not a multiple of the chunk
+        want = np.asarray(ops.query_ball_point(0.9, 8, xyz, centers))
+        got = np.asarray(
+            query_ball_point_tiled(0.9, 8, xyz, centers, query_chunk=16)
+        )
+        np.testing.assert_array_equal(got, want)

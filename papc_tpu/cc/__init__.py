@@ -65,6 +65,12 @@ def _load():
     lib.points_in_polygon3d.argtypes = [f32, i64, f32, i64, u8]
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [f32, i64, f32, i64, u8]
+    f64 = ctypes.POINTER(ctypes.c_double)
+    lib.kitti_eval_fused_statistics.restype = None
+    lib.kitti_eval_fused_statistics.argtypes = [
+        f64, i64, i64, f64, f64, i32, i32, f64, i64,
+        ctypes.c_int, ctypes.c_double, f64, i64, ctypes.c_int, f64,
+    ]
     _lib = lib
     return lib
 
@@ -177,6 +183,50 @@ def points_in_polygon3d(
             _ptr(out, ctypes.c_uint8),
         )
     return out.astype(bool)
+
+
+def kitti_eval_fused_statistics(
+    overlaps: np.ndarray,  # [dt, gt] float64
+    gt_datas: np.ndarray,  # [gt, 5]
+    dt_datas: np.ndarray,  # [dt, 6]
+    ignored_gt: np.ndarray,
+    ignored_det: np.ndarray,
+    dc_bboxes: np.ndarray,  # [ndc, 4]
+    metric: int,
+    min_overlap: float,
+    thresholds: np.ndarray,  # [T]
+    compute_aos: bool,
+    pr: np.ndarray,  # [T, 4] float64 — accumulated IN PLACE
+):
+    """One frame's TP/FP/FN/similarity over T thresholds (native)."""
+    lib = _load()
+
+    def f64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    def i32a(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    overlaps = f64(overlaps)
+    gt_datas = f64(gt_datas)
+    dt_datas = f64(dt_datas)
+    ig = i32a(ignored_gt)
+    idt = i32a(ignored_det)
+    dc = f64(dc_bboxes).reshape(-1, 4)
+    th = f64(thresholds)
+    assert pr.dtype == np.float64 and pr.flags.c_contiguous
+    lib.kitti_eval_fused_statistics(
+        _ptr(overlaps, ctypes.c_double),
+        len(dt_datas), len(gt_datas),
+        _ptr(gt_datas, ctypes.c_double),
+        _ptr(dt_datas, ctypes.c_double),
+        _ptr(ig, ctypes.c_int32), _ptr(idt, ctypes.c_int32),
+        _ptr(dc, ctypes.c_double), len(dc),
+        metric, min_overlap,
+        _ptr(th, ctypes.c_double), len(th),
+        1 if compute_aos else 0,
+        _ptr(pr, ctypes.c_double),
+    )
 
 
 def box_collision_test(

@@ -360,4 +360,111 @@ void box_collision_test(
   }
 }
 
+// ------------------------------------------------- KITTI eval statistics
+// One frame's TP/FP/FN/similarity accumulation over T score thresholds —
+// the hot inner kernel of the official mAP evaluator (reference
+// libs/tools/eval.py::compute_statistics_jit + fused_compute_statistics).
+//
+// overlaps: [dt, gt] row-major; gt_datas: [gt, 5] (bbox, alpha);
+// dt_datas: [dt, 6] (bbox, alpha, score); ignored_gt/dt: int32;
+// dc_bboxes: [ndc, 4]; thresholds: [T]; pr: [T, 4] accumulated in place.
+void kitti_eval_fused_statistics(
+    const double* overlaps, int64_t num_dt, int64_t num_gt,
+    const double* gt_datas, const double* dt_datas,
+    const int32_t* ignored_gt, const int32_t* ignored_det,
+    const double* dc_bboxes, int64_t num_dc,
+    int metric, double min_overlap,
+    const double* thresholds, int64_t num_t,
+    int compute_aos, double* pr) {
+  constexpr double NO_DETECTION = -10000000.0;
+  std::vector<char> assigned(num_dt), ignored_threshold(num_dt);
+  for (int64_t t = 0; t < num_t; ++t) {
+    const double thresh = thresholds[t];
+    std::fill(assigned.begin(), assigned.end(), 0);
+    for (int64_t j = 0; j < num_dt; ++j)
+      ignored_threshold[j] = dt_datas[j * 6 + 5] < thresh;
+    int64_t tp = 0, fp = 0, fn = 0;
+    double similarity = 0.0;
+    int64_t n_delta = 0;
+    std::vector<double> delta(num_gt);
+    for (int64_t i = 0; i < num_gt; ++i) {
+      if (ignored_gt[i] == -1) continue;
+      int64_t det_idx = -1;
+      double valid_detection = NO_DETECTION;
+      double max_overlap = 0.0;
+      bool assigned_ignored_det = false;
+      for (int64_t j = 0; j < num_dt; ++j) {
+        if (ignored_det[j] == -1 || assigned[j] || ignored_threshold[j])
+          continue;
+        const double overlap = overlaps[j * num_gt + i];
+        if (overlap > min_overlap &&
+            (overlap > max_overlap || assigned_ignored_det) &&
+            ignored_det[j] == 0) {
+          max_overlap = overlap;
+          det_idx = j;
+          valid_detection = 1;
+          assigned_ignored_det = false;
+        } else if (overlap > min_overlap &&
+                   valid_detection == NO_DETECTION &&
+                   ignored_det[j] == 1) {
+          det_idx = j;
+          valid_detection = 1;
+          assigned_ignored_det = true;
+        }
+      }
+      if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
+        ++fn;
+      } else if (valid_detection != NO_DETECTION &&
+                 (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+        assigned[det_idx] = 1;
+      } else if (valid_detection != NO_DETECTION) {
+        ++tp;
+        if (compute_aos)
+          delta[n_delta++] =
+              gt_datas[i * 5 + 4] - dt_datas[det_idx * 6 + 4];
+        assigned[det_idx] = 1;
+      }
+    }
+    for (int64_t j = 0; j < num_dt; ++j) {
+      if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j]))
+        ++fp;
+    }
+    // DontCare absorption (metric 0 only)
+    int64_t nstuff = 0;
+    if (metric == 0 && num_dc > 0) {
+      for (int64_t d = 0; d < num_dc; ++d) {
+        const double* dc = dc_bboxes + d * 4;
+        for (int64_t j = 0; j < num_dt; ++j) {
+          if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+              ignored_threshold[j])
+            continue;
+          const double* bb = dt_datas + j * 6;
+          const double iw = std::min(bb[2], dc[2]) - std::max(bb[0], dc[0]);
+          if (iw <= 0) continue;
+          const double ih = std::min(bb[3], dc[3]) - std::max(bb[1], dc[1]);
+          if (ih <= 0) continue;
+          const double area = (bb[2] - bb[0]) * (bb[3] - bb[1]);
+          if (area <= 0) continue;
+          if (iw * ih / area > min_overlap) {
+            assigned[j] = 1;
+            ++nstuff;
+          }
+        }
+      }
+    }
+    fp -= nstuff;
+    if (compute_aos) {
+      double sim = 0.0;
+      for (int64_t k = 0; k < n_delta; ++k)
+        sim += (1.0 + std::cos(delta[k])) / 2.0;
+      similarity = (tp > 0 || fp > 0) ? sim : -1.0;
+    }
+    pr[t * 4 + 0] += (double)tp;
+    pr[t * 4 + 1] += (double)fp;
+    pr[t * 4 + 2] += (double)fn;
+    if (compute_aos && similarity != -1.0) pr[t * 4 + 3] += similarity;
+  }
+}
+
 }  // extern "C"

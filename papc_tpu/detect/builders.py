@@ -172,6 +172,8 @@ def build_network(cfg, voxel_generator, target_assigner) -> PointPillars:
             bb.get("use_direction_classifier", True)
         ),
         use_norm=bool(bb.get("use_norm", True)),
+        use_groupnorm=bool(bb.get("use_groupnorm", False)),
+        num_groups=int(bb.get("num_groups", 32)),
         box_code_size=target_assigner.box_coder.code_size,
     )
 

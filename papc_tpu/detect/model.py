@@ -128,11 +128,18 @@ class _ConvBlock(nn.Module):
     n_layers: int
     stride: int
     use_norm: bool = True
+    use_groupnorm: bool = False
+    num_groups: int = 32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(h):
-            if self.use_norm:
+            if self.use_groupnorm:
+                h = nn.GroupNorm(
+                    num_groups=min(self.num_groups, h.shape[-1]),
+                    epsilon=1e-3,
+                )(h)
+            elif self.use_norm:
                 h = nn.BatchNorm(
                     use_running_average=not train, **PFN_BN
                 )(h)
@@ -154,7 +161,8 @@ class _ConvBlock(nn.Module):
 
 class RPN(nn.Module):
     """SECOND-style 3-block backbone + upsample-concat + 1x1 heads
-    (reference ``rpn.py:8-170``)."""
+    (reference ``rpn.py:8-170``; ``use_groupnorm`` mirrors its
+    GroupNorm-instead-of-BN option, rpn.py:41-43)."""
 
     num_class: int = 1
     layer_nums: Sequence[int] = (3, 5, 5)
@@ -166,13 +174,20 @@ class RPN(nn.Module):
     encode_background_as_zeros: bool = True
     use_direction_classifier: bool = True
     use_norm: bool = True
+    use_groupnorm: bool = False
+    num_groups: int = 32
     use_bev: bool = False
     box_code_size: int = 7
 
     @nn.compact
     def __call__(self, x, bev=None, train: bool = True):
         def bn(h):
-            if self.use_norm:
+            if self.use_groupnorm:
+                h = nn.GroupNorm(
+                    num_groups=min(self.num_groups, h.shape[-1]),
+                    epsilon=1e-3,
+                )(h)
+            elif self.use_norm:
                 h = nn.BatchNorm(
                     use_running_average=not train, **PFN_BN
                 )(h)
@@ -185,6 +200,8 @@ class RPN(nn.Module):
                 self.layer_nums[i],
                 self.layer_strides[i],
                 self.use_norm,
+                self.use_groupnorm,
+                self.num_groups,
             )(x, train)
             if i == 0 and self.use_bev and bev is not None:
                 b = bev
@@ -245,6 +262,8 @@ class PointPillars(nn.Module):
     encode_background_as_zeros: bool = True
     use_direction_classifier: bool = True
     use_norm: bool = True
+    use_groupnorm: bool = False
+    num_groups: int = 32
     box_code_size: int = 7
 
     @nn.compact
@@ -271,6 +290,8 @@ class PointPillars(nn.Module):
             encode_background_as_zeros=self.encode_background_as_zeros,
             use_direction_classifier=self.use_direction_classifier,
             use_norm=self.use_norm,
+            use_groupnorm=self.use_groupnorm,
+            num_groups=self.num_groups,
             box_code_size=self.box_code_size,
             name="rpn",
         )(spatial, train=train)

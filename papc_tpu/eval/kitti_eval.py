@@ -404,10 +404,18 @@ def eval_class(
     thresholds = np.asarray(
         get_thresholds(np.asarray(thresholdss), total_num_valid_gt)
     )
-    pr = np.zeros([len(thresholds), 4])
-    for i in range(len(gt_annos)):
-        for t, thresh in enumerate(thresholds):
-            tp, fp, fn, similarity, _ = compute_statistics(
+    pr = np.zeros([len(thresholds), 4], dtype=np.float64)
+    try:
+        from papc_tpu import cc
+
+        use_cc = cc.available() and len(thresholds) > 0
+    except Exception:
+        use_cc = False
+    if use_cc:
+        from papc_tpu import cc
+
+        for i in range(len(gt_annos)):
+            cc.kitti_eval_fused_statistics(
                 overlaps[i],
                 gt_datas_list[i],
                 dt_datas_list[i],
@@ -416,15 +424,31 @@ def eval_class(
                 dontcares[i],
                 metric,
                 min_overlap,
-                thresh=thresh,
-                compute_fp=True,
-                compute_aos=compute_aos,
+                thresholds,
+                compute_aos,
+                pr,
             )
-            pr[t, 0] += tp
-            pr[t, 1] += fp
-            pr[t, 2] += fn
-            if similarity != -1:
-                pr[t, 3] += similarity
+    else:
+        for i in range(len(gt_annos)):
+            for t, thresh in enumerate(thresholds):
+                tp, fp, fn, similarity, _ = compute_statistics(
+                    overlaps[i],
+                    gt_datas_list[i],
+                    dt_datas_list[i],
+                    ignored_gts[i],
+                    ignored_dets[i],
+                    dontcares[i],
+                    metric,
+                    min_overlap,
+                    thresh=thresh,
+                    compute_fp=True,
+                    compute_aos=compute_aos,
+                )
+                pr[t, 0] += tp
+                pr[t, 1] += fp
+                pr[t, 2] += fn
+                if similarity != -1:
+                    pr[t, 3] += similarity
 
     precision = np.zeros([N_SAMPLE_PTS])
     recall = np.zeros([N_SAMPLE_PTS])

@@ -11,6 +11,30 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
+
+
+class DelayedKeyboardInterrupt:
+    """Make a checkpoint write SIGINT-atomic: Ctrl-C during the block is
+    deferred until it completes (reference ``checkpoint.py:10-22``)."""
+
+    def __enter__(self):
+        self._received = None
+        try:
+            self._old = signal.signal(signal.SIGINT, self._handler)
+        except ValueError:  # not the main thread — nothing to defer
+            self._old = None
+        return self
+
+    def _handler(self, sig, frame):
+        self._received = (sig, frame)
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            signal.signal(signal.SIGINT, self._old)
+            if self._received is not None:
+                self._old(*self._received)
+        return False
 
 
 def _index_path(model_dir: str) -> str:
@@ -55,9 +79,10 @@ def save(
     os.makedirs(model_dir, exist_ok=True)
     name = f"{model_name}-{global_step}"
     path = os.path.abspath(os.path.join(model_dir, name))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state_dict, force=True)
-    ckptr.wait_until_finished()
+    with DelayedKeyboardInterrupt():
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state_dict, force=True)
+        ckptr.wait_until_finished()
 
     index = _load_index(model_dir)
     all_ckpts = index["all_ckpts"].setdefault(model_name, [])

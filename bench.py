@@ -166,7 +166,26 @@ def bench_pointpillars_step():
         return m["loss"]
 
     step().block_until_ready()
-    return _median_time(step, lambda x: x.block_until_ready(), steps=10)
+    train_t = _median_time(
+        step, lambda x: x.block_until_ready(), steps=10
+    )
+
+    # inference: decode -> score threshold -> top-k -> rotated NMS@1000
+    from papc_tpu.detect.train import make_predict_step
+
+    predict_cfg = builders.build_predict_config(cfg, ta)
+    predict_step = make_predict_step(model, predict_cfg, coder)
+    infer_batch = {k: batch[k] for k in
+                   ("voxels", "num_points", "coordinates", "anchors")}
+
+    def istep():
+        return predict_step(holder["s"], infer_batch)["scores"]
+
+    istep().block_until_ready()
+    infer_t = _median_time(
+        istep, lambda x: x.block_until_ready(), steps=10
+    )
+    return train_t, infer_t / Bd
 
 
 def main():
@@ -176,7 +195,7 @@ def main():
 
     enable_persistent_cache()
 
-    pp_step = bench_pointpillars_step()
+    pp_step, pp_infer = bench_pointpillars_step()
     step_time = bench_train_step()
     pts_per_sec = B * N / step_time
     epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
@@ -198,6 +217,9 @@ def main():
                     "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
                     "pillarize_ms_per_frame": round(pillarize_ms, 3),
                     "pointpillars_step_ms": round(pp_step * 1e3, 3),
+                    "pointpillars_infer_ms_per_frame": round(
+                        pp_infer * 1e3, 3
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -65,6 +65,8 @@ def _load():
     lib.points_in_polygon3d.argtypes = [f32, i64, f32, i64, u8]
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [f32, i64, f32, i64, u8]
+    lib.kd_build.restype = None
+    lib.kd_build.argtypes = [f32, i64, i32, i32]
     f64 = ctypes.POINTER(ctypes.c_double)
     lib.kitti_eval_fused_statistics.restype = None
     lib.kitti_eval_fused_statistics.argtypes = [
@@ -183,6 +185,30 @@ def points_in_polygon3d(
             _ptr(out, ctypes.c_uint8),
         )
     return out.astype(bool)
+
+
+def kd_build(points: np.ndarray):
+    """Balanced kd-tree over ``[N, 3]`` points (N a power of two).
+
+    Returns ``(order [N] int32 — leaf-ordered original indices,
+    splits: list of [N >> l] int32 per level)``."""
+    lib = _load()
+    points = _f32(points[:, :3])
+    n = len(points)
+    depth = int(np.log2(n))
+    assert (1 << depth) == n, "kd_build needs power-of-two N"
+    order = np.zeros(n, np.int32)
+    total = sum(n >> l for l in range(depth))
+    splits_flat = np.zeros(total, np.int32)
+    lib.kd_build(
+        _ptr(points, ctypes.c_float), n,
+        _ptr(order, ctypes.c_int32), _ptr(splits_flat, ctypes.c_int32),
+    )
+    splits, off = [], 0
+    for l in range(depth):
+        splits.append(splits_flat[off : off + (n >> l)])
+        off += n >> l
+    return order, splits
 
 
 def kitti_eval_fused_statistics(

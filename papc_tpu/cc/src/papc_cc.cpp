@@ -360,6 +360,69 @@ void box_collision_test(
   }
 }
 
+// ------------------------------------------------------- kd-tree builder
+// Balanced kd-tree (median split on the max-spread axis) for KDNet /
+// KDUNet inputs — native twin of papc_tpu.data.kd.build_kd_tree
+// (the reference leans on scipy's C cKDTree; SURVEY §2.1 kd loader).
+//
+// points: [n, 3] float32, n a power of two. order: [n] int32 out —
+// leaf-ordered original indices. splits_flat: level-major concatenation
+// (level l has n>>l entries, l = 0..log2(n)-1), int32 out.
+namespace {
+
+void kd_rec(
+    const float* points, int32_t* idx, int64_t s, int64_t pos,
+    int32_t* splits_flat, const int64_t* level_offsets, int depth_total) {
+  if (s == 1) return;
+  // max-spread axis over this subtree (first max wins, numpy argmax)
+  float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < s; ++i) {
+    const float* p = points + (int64_t)idx[i] * 3;
+    for (int a = 0; a < 3; ++a) {
+      mn[a] = std::min(mn[a], p[a]);
+      mx[a] = std::max(mx[a], p[a]);
+    }
+  }
+  int axis = 0;
+  float best = mx[0] - mn[0];
+  for (int a = 1; a < 3; ++a) {
+    const float spread = mx[a] - mn[a];
+    if (spread > best) { best = spread; axis = a; }
+  }
+  // stable sort by coordinate (ties keep current order — matches
+  // numpy argsort(kind='stable'))
+  std::stable_sort(idx, idx + s, [&](int32_t a, int32_t b) {
+    return points[(int64_t)a * 3 + axis] < points[(int64_t)b * 3 + axis];
+  });
+  // model level merging this node's children: log2(s) - 1
+  int lvl = 0;
+  while ((int64_t(1) << (lvl + 1)) < s) ++lvl;  // lvl = log2(s) - 1
+  splits_flat[level_offsets[lvl] + 2 * pos] = axis;
+  splits_flat[level_offsets[lvl] + 2 * pos + 1] = axis;
+  const int64_t half = s / 2;
+  kd_rec(points, idx, half, pos * 2, splits_flat, level_offsets,
+         depth_total);
+  kd_rec(points, idx + half, half, pos * 2 + 1, splits_flat,
+         level_offsets, depth_total);
+}
+
+}  // namespace
+
+void kd_build(
+    const float* points, int64_t n, int32_t* order,
+    int32_t* splits_flat) {
+  int depth = 0;
+  while ((int64_t(1) << depth) < n) ++depth;
+  std::vector<int64_t> offsets(depth);
+  int64_t off = 0;
+  for (int l = 0; l < depth; ++l) {
+    offsets[l] = off;
+    off += n >> l;
+  }
+  for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+  kd_rec(points, order, n, 0, splits_flat, offsets.data(), depth);
+}
+
 // ------------------------------------------------- KITTI eval statistics
 // One frame's TP/FP/FN/similarity accumulation over T score thresholds —
 // the hot inner kernel of the official mAP evaluator (reference

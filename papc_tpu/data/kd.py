@@ -32,6 +32,17 @@ def build_kd_tree(points: np.ndarray, labels: np.ndarray | None = None):
     N = len(points)
     depth = int(np.log2(N))
     assert 2**depth == N, f"kd tree needs power-of-two N, got {N}"
+    # native fast path (papc_cc, ~40x the python recursion)
+    try:
+        from papc_tpu import cc
+
+        if cc.available():
+            order, splits = cc.kd_build(np.asarray(points, np.float32))
+            leaf_points = points[order]
+            leaf_labels = labels[order] if labels is not None else None
+            return leaf_points, splits, leaf_labels
+    except Exception:
+        pass
     splits = [np.zeros(N >> l, dtype=np.int32) for l in range(depth)]
 
     def rec(idx: np.ndarray, pos: int) -> np.ndarray:

@@ -117,3 +117,43 @@ class TestGeometry:
         got = cc.box_collision_test(a, b)
         want = augment._box_collision_test_np(a, b)
         np.testing.assert_array_equal(got, want)
+
+
+class TestKDBuild:
+    def test_matches_python_recursion(self, rng):
+        pts = rng.randn(128, 3).astype(np.float32)
+        order, splits = cc.kd_build(pts)
+        # python recursion oracle (same median-split-max-spread rule)
+        N = len(pts)
+        splits_py = [np.zeros(N >> l, np.int32) for l in range(7)]
+
+        def rec(idx, pos):
+            s = len(idx)
+            if s == 1:
+                return idx
+            sub = pts[idx]
+            axis = int(np.argmax(sub.max(0) - sub.min(0)))
+            sidx = idx[np.argsort(sub[:, axis], kind="stable")]
+            half = s // 2
+            left = rec(sidx[:half], pos * 2)
+            right = rec(sidx[half:], pos * 2 + 1)
+            lvl = int(np.log2(s)) - 1
+            splits_py[lvl][2 * pos] = axis
+            splits_py[lvl][2 * pos + 1] = axis
+            return np.concatenate([left, right])
+
+        order_py = rec(np.arange(N), 0)
+        np.testing.assert_array_equal(order, order_py)
+        for a, b in zip(splits, splits_py):
+            np.testing.assert_array_equal(a, b)
+
+    def test_loader_uses_native(self, rng):
+        from papc_tpu.data.kd import build_kd_tree
+
+        pts = rng.randn(64, 3).astype(np.float32)
+        labels = rng.randint(0, 5, 64)
+        leaf, splits, leaf_labels = build_kd_tree(pts, labels)
+        assert leaf.shape == (64, 3)
+        assert len(splits) == 6
+        # leaf ordering permutes labels consistently
+        assert sorted(leaf_labels.tolist()) == sorted(labels.tolist())

@@ -364,4 +364,5 @@ def build_dataset(
         target_assigner,
         fmap,
         prep_func,
+        base_seed=int(input_reader_cfg.get("SEED", 0)),
     )

@@ -359,6 +359,7 @@ class KittiDataset:
         target_assigner,
         feature_map_size,
         prep_func,
+        base_seed: int = 0,
     ):
         with open(info_path, "rb") as f:
             infos = pickle.load(f)
@@ -377,6 +378,13 @@ class KittiDataset:
             "unmatched_thresholds": ret["unmatched_thresholds"],
         }
         self._prep_func = prep_func
+        self._base_seed = int(base_seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation RNG stream (deterministic per
+        (base_seed, epoch, idx) — reproducible with any worker count)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self._kitti_infos)
@@ -390,12 +398,18 @@ class KittiDataset:
         return self._anchor_cache
 
     def __getitem__(self, idx):
+        rng = np.random.RandomState(
+            (self._base_seed * 9176 + self._epoch * 131071 + idx)
+            % (2**31 - 1)
+        )
         return read_and_prep(
             info=self._kitti_infos[idx],
             root_path=self._root_path,
             num_point_features=self._num_point_features,
             prep_func=lambda input_dict: self._prep_func(
-                input_dict=input_dict, anchor_cache=self._anchor_cache
+                input_dict=input_dict,
+                anchor_cache=self._anchor_cache,
+                rng=rng,
             ),
         )
 

@@ -258,11 +258,33 @@ def predictions_to_kitti_annos(
     return annos
 
 
-def _iter_batches(dataset, batch_size, shuffle, rng):
+def _iter_batches(dataset, batch_size, shuffle, rng, num_workers=0):
+    """Batch iterator; with ``num_workers`` > 0 samples are prepared in a
+    fork-based process pool (reference DataLoader NUM_WORKERS parity).
+    Augmentations stay deterministic per (seed, epoch, idx) regardless of
+    worker count."""
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         rng.shuffle(order)
+    usable = n - n % batch_size
+    if num_workers > 0 and usable > 0:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(num_workers) as pool:
+            it = pool.imap(
+                dataset.__getitem__,
+                [int(i) for i in order[:usable]],
+                chunksize=1,
+            )
+            buf = []
+            for ex in it:
+                buf.append(ex)
+                if len(buf) == batch_size:
+                    yield collate_batch(buf)
+                    buf = []
+        return
     for start in range(0, n - batch_size + 1, batch_size):
         idx = order[start : start + batch_size]
         yield collate_batch([dataset[int(i)] for i in idx])
@@ -372,10 +394,16 @@ def train(
     from papc_tpu.data.prefetch import prefetch_to_device
     from papc_tpu.parallel.mesh import data_sharding
 
+    num_workers = int(cfg.TRAIN_INPUT_READER.get("NUM_WORKERS", 0))
+    epoch_counter = 0
     try:
         while step < total_steps:
+            epoch_counter += 1
+            train_ds.set_epoch(epoch_counter)
             for batch in prefetch_to_device(
-                _iter_batches(train_ds, batch_size, True, rng_np),
+                _iter_batches(
+                    train_ds, batch_size, True, rng_np, num_workers
+                ),
                 size=2,
                 transform=example_to_device_batch,
                 sharding=data_sharding(mesh),

@@ -91,7 +91,7 @@ def test_dataset_prep_and_collate(kitti_root, pipeline):
     grid = voxel_gen.grid_size
     fmap = [1, grid[1] // 2, grid[0] // 2]
 
-    def prep_func(input_dict, anchor_cache=None):
+    def prep_func(input_dict, anchor_cache=None, rng=None):
         return prep_pointcloud(
             input_dict,
             str(kitti_root),
@@ -100,7 +100,7 @@ def test_dataset_prep_and_collate(kitti_root, pipeline):
             max_voxels=MAX_VOXELS,
             training=True,
             anchor_cache=anchor_cache,
-            rng=np.random.RandomState(0),
+            rng=rng or np.random.RandomState(0),
         )
 
     ds = KittiDataset(
@@ -163,7 +163,7 @@ def test_eval_mode_prep_has_no_targets(kitti_root, pipeline):
     grid = voxel_gen.grid_size
     fmap = [1, grid[1] // 2, grid[0] // 2]
 
-    def prep_func(input_dict, anchor_cache=None):
+    def prep_func(input_dict, anchor_cache=None, rng=None):
         return prep_pointcloud(
             input_dict,
             str(kitti_root),
@@ -172,6 +172,7 @@ def test_eval_mode_prep_has_no_targets(kitti_root, pipeline):
             max_voxels=MAX_VOXELS,
             training=False,
             anchor_cache=anchor_cache,
+            rng=rng,
         )
 
     ds = KittiDataset(

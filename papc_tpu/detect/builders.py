@@ -365,4 +365,5 @@ def build_dataset(
         fmap,
         prep_func,
         base_seed=int(input_reader_cfg.get("SEED", 0)),
+        db_sampler=db_sampler,
     )

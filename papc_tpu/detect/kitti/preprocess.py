@@ -360,6 +360,7 @@ class KittiDataset:
         feature_map_size,
         prep_func,
         base_seed: int = 0,
+        db_sampler=None,
     ):
         with open(info_path, "rb") as f:
             infos = pickle.load(f)
@@ -380,11 +381,19 @@ class KittiDataset:
         self._prep_func = prep_func
         self._base_seed = int(base_seed)
         self._epoch = 0
+        self._db_sampler = db_sampler
+        self._reseed_sampler = False
 
     def set_epoch(self, epoch: int):
         """Advance the augmentation RNG stream (deterministic per
         (base_seed, epoch, idx) — reproducible with any worker count)."""
         self._epoch = int(epoch)
+
+    def enable_per_item_sampler_seeding(self, on: bool = True):
+        """In multiprocess mode the GT-DB sampler is reseeded per item
+        so paste augmentation is worker-count independent (single-process
+        mode keeps the reference's stateful epoch-pool semantics)."""
+        self._reseed_sampler = bool(on)
 
     def __len__(self):
         return len(self._kitti_infos)
@@ -398,10 +407,12 @@ class KittiDataset:
         return self._anchor_cache
 
     def __getitem__(self, idx):
-        rng = np.random.RandomState(
-            (self._base_seed * 9176 + self._epoch * 131071 + idx)
-            % (2**31 - 1)
-        )
+        item_seed = (
+            self._base_seed * 9176 + self._epoch * 131071 + idx
+        ) % (2**31 - 1)
+        rng = np.random.RandomState(item_seed)
+        if self._reseed_sampler and self._db_sampler is not None:
+            self._db_sampler.reseed(item_seed + 1)
         return read_and_prep(
             info=self._kitti_infos[idx],
             root_path=self._root_path,

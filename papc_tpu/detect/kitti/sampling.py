@@ -51,6 +51,18 @@ class DataBaseSamplerV2:
             for k, v in db_infos.items()
         }
 
+    def reseed(self, seed: int):
+        """Deterministically reseed the draw streams (used by the
+        multiprocess loader so DB-paste augmentation is a pure function
+        of (base_seed, epoch, idx) — any worker count reproduces it)."""
+        import numpy as _np
+
+        self._rng = _np.random.RandomState(seed)
+        self._sampler_dict = {
+            k: BatchSampler(v, k, rng=self._rng)
+            for k, v in self.db_infos.items()
+        }
+
     def sample_all(
         self,
         root_path: str,

@@ -258,34 +258,33 @@ def predictions_to_kitti_annos(
     return annos
 
 
-def _iter_batches(dataset, batch_size, shuffle, rng, num_workers=0):
-    """Batch iterator; with ``num_workers`` > 0 samples are prepared in a
-    fork-based process pool (reference DataLoader NUM_WORKERS parity).
-    Augmentations stay deterministic per (seed, epoch, idx) regardless of
-    worker count."""
+def _iter_batches(
+    dataset, batch_size, shuffle, rng,
+    pool=None, epoch=0, max_batches=None,
+):
+    """Batch iterator; with a :class:`papc_tpu.data.workers.SamplePool`
+    samples are prepared in spawn-based worker processes (reference
+    DataLoader NUM_WORKERS parity). ``max_batches`` bounds the epoch so
+    the generator (and any pool work) completes exactly when the
+    training loop stops consuming — no abandoned in-flight tasks."""
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         rng.shuffle(order)
     usable = n - n % batch_size
-    if num_workers > 0 and usable > 0:
-        import multiprocessing as mp
-
-        ctx = mp.get_context("fork")
-        with ctx.Pool(num_workers) as pool:
-            it = pool.imap(
-                dataset.__getitem__,
-                [int(i) for i in order[:usable]],
-                chunksize=1,
-            )
-            buf = []
-            for ex in it:
-                buf.append(ex)
-                if len(buf) == batch_size:
-                    yield collate_batch(buf)
-                    buf = []
+    n_batches = usable // batch_size
+    if max_batches is not None:
+        n_batches = min(n_batches, max_batches)
+    order = order[: n_batches * batch_size]
+    if pool is not None and len(order):
+        buf = []
+        for ex in pool.imap(epoch, order):
+            buf.append(ex)
+            if len(buf) == batch_size:
+                yield collate_batch(buf)
+                buf = []
         return
-    for start in range(0, n - batch_size + 1, batch_size):
+    for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
         yield collate_batch([dataset[int(i)] for i in idx])
 
@@ -395,6 +394,14 @@ def train(
     from papc_tpu.parallel.mesh import data_sharding
 
     num_workers = int(cfg.TRAIN_INPUT_READER.get("NUM_WORKERS", 0))
+    pool = None
+    if num_workers > 0:
+        from papc_tpu.data.workers import SamplePool
+
+        # worker mode: per-item sampler reseeding keeps DB-paste
+        # augmentation deterministic for any worker count
+        train_ds.enable_per_item_sampler_seeding(True)
+        pool = SamplePool(train_ds, num_workers)
     epoch_counter = 0
     try:
         while step < total_steps:
@@ -402,7 +409,9 @@ def train(
             train_ds.set_epoch(epoch_counter)
             for batch in prefetch_to_device(
                 _iter_batches(
-                    train_ds, batch_size, True, rng_np, num_workers
+                    train_ds, batch_size, True, rng_np,
+                    pool=pool, epoch=epoch_counter,
+                    max_batches=total_steps - step,
                 ),
                 size=2,
                 transform=example_to_device_batch,
@@ -441,6 +450,9 @@ def train(
     except Exception:
         _save(state, model_dir, step)
         raise
+    finally:
+        if pool is not None:
+            pool.close()
     _save(state, model_dir, step)
 
     if eval_on_finish:

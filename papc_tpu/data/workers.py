@@ -12,7 +12,6 @@ Design constraints this solves (found in review):
 
 from __future__ import annotations
 
-import contextlib
 import multiprocessing as mp
 import os
 
@@ -24,22 +23,28 @@ _WORKER_DATASET = None
 _ACCELERATOR_ENV = ("PALLAS_AXON_POOL_IPS", "TPU_WORKER_HOSTNAMES")
 
 
-@contextlib.contextmanager
-def _cpu_only_child_env():
+def _scrub_accelerator_env():
+    """Remove accelerator-claiming env vars; returns the restore map.
+
+    The scrub must stay in effect for the POOL'S LIFETIME (not just
+    construction): mp.Pool respawns crashed workers later, and a respawn
+    under the original env would claim the TPU at interpreter start."""
     saved = {}
     for k in _ACCELERATOR_ENV:
         if k in os.environ:
             saved[k] = os.environ.pop(k)
-    prev_platforms = os.environ.get("JAX_PLATFORMS")
+    saved["__JAX_PLATFORMS__"] = os.environ.get("JAX_PLATFORMS")
     os.environ["JAX_PLATFORMS"] = "cpu"
-    try:
-        yield
-    finally:
-        os.environ.update(saved)
-        if prev_platforms is None:
-            os.environ.pop("JAX_PLATFORMS", None)
-        else:
-            os.environ["JAX_PLATFORMS"] = prev_platforms
+    return saved
+
+
+def _restore_env(saved):
+    prev = saved.pop("__JAX_PLATFORMS__", None)
+    os.environ.update(saved)
+    if prev is None:
+        os.environ.pop("JAX_PLATFORMS", None)
+    else:
+        os.environ["JAX_PLATFORMS"] = prev
 
 
 def _init_worker(dataset):
@@ -59,10 +64,10 @@ class SamplePool:
 
     def __init__(self, dataset, num_workers: int):
         ctx = mp.get_context("spawn")
-        with _cpu_only_child_env():
-            self._pool = ctx.Pool(
-                num_workers, initializer=_init_worker, initargs=(dataset,)
-            )
+        self._saved_env = _scrub_accelerator_env()
+        self._pool = ctx.Pool(
+            num_workers, initializer=_init_worker, initargs=(dataset,)
+        )
 
     def imap(self, epoch: int, indices):
         return self._pool.imap(
@@ -72,6 +77,9 @@ class SamplePool:
     def close(self):
         self._pool.terminate()
         self._pool.join()
+        if self._saved_env is not None:
+            _restore_env(self._saved_env)
+            self._saved_env = None
 
     def __enter__(self):
         return self

@@ -412,7 +412,11 @@ class KittiDataset:
         ) % (2**31 - 1)
         rng = np.random.RandomState(item_seed)
         if self._reseed_sampler and self._db_sampler is not None:
-            self._db_sampler.reseed(item_seed + 1)
+            # decorrelated stream: a golden-ratio mix, NOT item_seed+1
+            # (which would be bit-identical to item idx+1's aug stream)
+            self._db_sampler.reseed(
+                (item_seed * 0x9E3779B1 + 0x7F4A7C15) % (2**32)
+            )
         return read_and_prep(
             info=self._kitti_infos[idx],
             root_path=self._root_path,

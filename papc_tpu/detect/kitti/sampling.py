@@ -54,14 +54,14 @@ class DataBaseSamplerV2:
     def reseed(self, seed: int):
         """Deterministically reseed the draw streams (used by the
         multiprocess loader so DB-paste augmentation is a pure function
-        of (base_seed, epoch, idx) — any worker count reproduces it)."""
-        import numpy as _np
-
-        self._rng = _np.random.RandomState(seed)
-        self._sampler_dict = {
-            k: BatchSampler(v, k, rng=self._rng)
-            for k, v in self.db_infos.items()
-        }
+        of (base_seed, epoch, idx) — any worker count reproduces it).
+        Only the classes actually sampled are rebuilt."""
+        self._rng = np.random.RandomState(seed)
+        for k in self._sample_classes:
+            if k in self.db_infos:
+                self._sampler_dict[k] = BatchSampler(
+                    self.db_infos[k], k, rng=self._rng
+                )
 
     def sample_all(
         self,

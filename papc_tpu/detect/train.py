@@ -268,6 +268,7 @@ def _iter_batches(
     the generator (and any pool work) completes exactly when the
     training loop stops consuming — no abandoned in-flight tasks."""
     n = len(dataset)
+    dataset.set_epoch(epoch)  # single epoch channel for both modes
     order = np.arange(n)
     if shuffle:
         rng.shuffle(order)
@@ -406,7 +407,6 @@ def train(
     try:
         while step < total_steps:
             epoch_counter += 1
-            train_ds.set_epoch(epoch_counter)
             for batch in prefetch_to_device(
                 _iter_batches(
                     train_ds, batch_size, True, rng_np,

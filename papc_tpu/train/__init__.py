@@ -2,6 +2,7 @@
 
 from papc_tpu.train.trainer import (
     TrainState,
+    evaluate,
     create_train_state,
     make_train_step,
     restore_checkpoint,
@@ -11,6 +12,7 @@ from papc_tpu.train.trainer import (
 
 __all__ = [
     "train",
+    "evaluate",
     "TrainState",
     "create_train_state",
     "make_train_step",

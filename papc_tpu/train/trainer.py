@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -170,6 +171,62 @@ def _as_batch_dict(spec: ModelSpec, raw) -> dict:
     if isinstance(raw, dict):
         return raw
     return {k: v for k, v in raw._asdict().items() if v is not None}
+
+
+def evaluate(
+    model_name: str = "pointnet_basic",
+    mode: str = "clas",
+    max_point: int = 1024,
+    num_classes: int = 16,
+    num_parts: int = 50,
+    batchsize: int = 32,
+    path: str = "./dataset/",
+    checkpoint_path: str | None = None,
+    split: str = "test",
+    make_loader: Callable | None = None,
+    log: Callable[[str], None] = print,
+):
+    """Evaluate a zoo checkpoint on a ShapeNet split (the reference has
+    no offline eval entry for Stack A — its 'test' loaders exist but are
+    never driven; this is the working one)."""
+    spec = init_model(model_name, mode, num_classes, num_parts, max_point)
+    if make_loader is None:
+        from papc_tpu.data.dispatch import make_dataloader
+
+        def make_loader(mode2):
+            return make_dataloader(
+                model_name, max_point, batchsize, path, mode, mode2
+            )
+
+    loader = make_loader(split)
+    rng = jax.random.PRNGKey(0)
+    first = _as_batch_dict(spec, next(iter(loader())))
+    state = create_train_state(spec, rng, first)
+    if checkpoint_path:
+        from papc_tpu.train.trainer import restore_checkpoint
+
+        state = restore_checkpoint(state, checkpoint_path)
+    _, eval_step = make_train_step(spec, num_parts)
+    losses, metrics, weights = [], [], []
+    for raw in loader():
+        batch = _as_batch_dict(spec, raw)
+        loss, metric = eval_step(state, batch)
+        w = float(np.sum(batch["mask"]))
+        losses.append(float(loss) * w)
+        metrics.append(float(metric) * w)
+        weights.append(w)
+    total = max(sum(weights), 1.0)
+    name = "miou" if mode == "seg" else "accuracy"
+    result = {
+        "loss": sum(losses) / total,
+        name: sum(metrics) / total,
+        "num_samples": int(total),
+    }
+    log(f"eval[{split}]: " + ", ".join(
+        f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}"
+        for k, v in result.items()
+    ))
+    return result
 
 
 def train(

@@ -30,10 +30,27 @@ parser.add_argument("--path", type=str, default="./dataset/",
 parser.add_argument("--model_dir", type=str, default="./model/",
                     help="Where checkpoints are written")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--evaluate", action="store_true",
+                    help="evaluate --checkpoint on the test split instead of training")
+parser.add_argument("--checkpoint", type=str, default=None)
 
 args = parser.parse_args()
 
 if __name__ == "__main__":
+    if args.evaluate:
+        from papc_tpu.train import evaluate
+
+        evaluate(
+            args.model_name,
+            args.mode,
+            args.max_point,
+            args.num_classes,
+            args.num_parts,
+            args.batchsize,
+            args.path,
+            checkpoint_path=args.checkpoint,
+        )
+        raise SystemExit(0)
     train(
         args.model_name,
         args.mode,

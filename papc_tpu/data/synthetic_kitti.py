@@ -9,7 +9,6 @@ derived by the exact inverse of the pipeline's camera→lidar transform.
 
 from __future__ import annotations
 
-import os
 import pathlib
 
 import numpy as np

@@ -12,7 +12,6 @@ import functools
 import pathlib
 import pickle
 
-import numpy as np
 import optax
 
 from papc_tpu.detect.anchors import (

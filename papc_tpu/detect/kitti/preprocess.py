@@ -325,8 +325,6 @@ def read_and_prep(info, root_path, num_point_features, prep_func):
     }
     if "annos" in info:
         annos = info["annos"]
-        from papc_tpu.detect.kitti.common import filter_kitti_anno
-
         annos = {
             k: v for k, v in annos.items()
         }

@@ -19,7 +19,6 @@ import pathlib
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from papc_tpu.detect import box_np
@@ -27,7 +26,7 @@ from papc_tpu.detect import builders
 from papc_tpu.detect.config import cfg_from_list, cfg_from_yaml_file, save_config
 from papc_tpu.detect.detector import compute_loss, predict
 from papc_tpu.detect.kitti.preprocess import collate_batch
-from papc_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from papc_tpu.parallel.mesh import make_mesh_for_batch, replicate
 from papc_tpu.train import checkpoint as ckpt_lib
 from papc_tpu.train.trainer import TrainState
 

@@ -9,7 +9,6 @@ native XLA conv layout on TPU.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from papc_tpu.nn.layers import BN_EPS, BN_MOMENTUM

@@ -13,14 +13,12 @@ Orbax checkpointing with resume.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 import time
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from flax.training import train_state

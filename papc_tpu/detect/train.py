@@ -334,6 +334,7 @@ def train(
     batch_size = int(cfg.TRAIN_INPUT_READER.BATCH_SIZE)
     total_steps = int(max_steps or cfg.TRAIN_CONFIG.STEPS)
     save_secs = int(cfg.TRAIN_CONFIG.get("SAVE_CHECKPOINTS_SECS", 1800))
+    steps_per_eval = int(cfg.TRAIN_CONFIG.get("STEPS_PER_EVAL", 0))
 
     # init from one real example
     mesh = make_mesh_for_batch(batch_size)
@@ -444,6 +445,28 @@ def train(
                 if time.time() - last_save > save_secs:
                     _save(state, model_dir, step)
                     last_save = time.time()
+                if steps_per_eval and step % steps_per_eval == 0:
+                    # periodic eval + snapshot (the reference's eval loop
+                    # is commented out wholesale — train.py:278-322)
+                    _save(state, model_dir, step)
+                    annos = evaluate(
+                        model, state, predict_step, eval_ds, cfg,
+                        predict_cfg, log=log,
+                    )
+                    gt_annos = [
+                        info["annos"]
+                        for info in eval_ds.kitti_infos
+                        if "annos" in info
+                    ]
+                    if len(gt_annos) == len(annos):
+                        from papc_tpu.eval.kitti_eval import (
+                            get_official_eval_result,
+                        )
+
+                        log(get_official_eval_result(
+                            gt_annos, annos,
+                            list(cfg.EVAL_INPUT_READER.CLASS_NAMES)[0],
+                        ))
                 if step >= total_steps:
                     break
     except Exception:

@@ -17,6 +17,13 @@ def enable_persistent_cache(cache_dir: str | None = None):
     cache_dir = cache_dir or os.environ.get(
         "PAPC_COMPILE_CACHE", os.path.expanduser("~/.cache/papc_tpu_xla")
     )
+    # scope per backend: CPU executables AOT-compiled elsewhere (e.g. via
+    # a remote-compile service) can carry machine-feature claims that
+    # mismatch this host
+    try:
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
+    except Exception:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -37,7 +37,7 @@ def _median_time(fn, block, steps=20, repeats=3):
     return float(np.median(times))
 
 
-def bench_train_step():
+def bench_train_step(precision="fp32"):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,7 @@ def bench_train_step():
     }
     rng = jax.random.PRNGKey(0)
     state = create_train_state(spec, rng, batch)
-    train_step, _ = make_train_step(spec)
+    train_step, _ = make_train_step(spec, precision=precision)
 
     holder = {"state": state}
 
@@ -92,7 +92,7 @@ def bench_pillarize():
     return (time.perf_counter() - t0) / reps
 
 
-def bench_pointpillars_step():
+def bench_pointpillars_step(precision="fp32"):
     """Full-KITTI-scale PointPillars train step (B=2, 12k pillars,
     432x496 BEV grid — the reference config's exact workload)."""
     import jax
@@ -157,7 +157,9 @@ def bench_pointpillars_step():
         batch_stats=variables.get("batch_stats", {}),
         tx=tx,
     )
-    train_step, init_rm = make_detection_train_step(model, loss_cfg)
+    train_step, init_rm = make_detection_train_step(
+        model, loss_cfg, precision=precision
+    )
     holder = {"s": state, "rm": init_rm()}
 
     def step():
@@ -196,7 +198,9 @@ def main():
     enable_persistent_cache()
 
     pp_step, pp_infer = bench_pointpillars_step()
+    pp_step_bf16, _ = bench_pointpillars_step(precision="bf16")
     step_time = bench_train_step()
+    step_time_bf16 = bench_train_step(precision="bf16")
     pts_per_sec = B * N / step_time
     epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
     pillarize_ms = bench_pillarize() * 1e3
@@ -214,9 +218,13 @@ def main():
                     "batch": B,
                     "points": N,
                     "step_ms": round(step_time * 1e3, 3),
+                    "step_ms_bf16": round(step_time_bf16 * 1e3, 3),
                     "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
                     "pillarize_ms_per_frame": round(pillarize_ms, 3),
                     "pointpillars_step_ms": round(pp_step * 1e3, 3),
+                    "pointpillars_step_ms_bf16": round(
+                        pp_step_bf16 * 1e3, 3
+                    ),
                     "pointpillars_infer_ms_per_frame": round(
                         pp_infer * 1e3, 3
                     ),

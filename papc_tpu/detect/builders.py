@@ -238,6 +238,23 @@ def build_lr_schedule(opt_cfg, base_lr: float):
             decay_rate=float(lr_cfg.decay_factor),
             staircase=bool(lr_cfg.get("staircase", True)),
         )
+    if name == "exponential_decay_with_burnin":
+        # Reference ``learning_schedules.py:89-116`` (as intended: the
+        # reference code itself crashes — `^` is XOR and its burnin LR is
+        # unbound when burnin_learning_rate != 0): hold burnin_lr for
+        # burnin_steps, then staircase exponential decay of base_lr.
+        decay_steps = int(lr_cfg.decay_steps)
+        decay_factor = float(lr_cfg.decay_factor)
+        burnin_lr = float(lr_cfg.get("burnin_learning_rate", 0.0)) or base_lr
+        burnin_steps = int(lr_cfg.get("burnin_steps", 0))
+
+        def burnin_schedule(step):
+            import jax.numpy as jnp
+
+            post = base_lr * decay_factor ** (step // decay_steps)
+            return jnp.where(step < burnin_steps, burnin_lr, post)
+
+        return burnin_schedule
     if name == "manual_step_learning_rate":
         boundaries = [int(s.step) for s in lr_cfg.schedule]
         values = [base_lr] + [float(s.learning_rate) for s in lr_cfg.schedule]

@@ -14,6 +14,7 @@ reference's checkpoints.json index contract.
 
 from __future__ import annotations
 
+import functools
 import os
 import pathlib
 import time
@@ -99,11 +100,19 @@ def make_pillarizer(voxel_generator, max_voxels: int):
     return pillarize
 
 
-def make_detection_train_step(model, loss_cfg, pillarize=None):
+def make_detection_train_step(
+    model, loss_cfg, pillarize=None, precision: str = "fp32"
+):
+    from papc_tpu.train.precision import cast_floating
     from papc_tpu.train.running_metrics import (
         AccuracyState,
         PrecisionRecallState,
     )
+
+    bf16 = precision == "bf16"
+    if precision not in ("fp32", "bf16"):
+        raise ValueError(f"unknown precision {precision!r}")
+    import jax.numpy as jnp
 
     def loss_fn(params, batch_stats, batch):
         if pillarize is not None:
@@ -113,6 +122,12 @@ def make_detection_train_step(model, loss_cfg, pillarize=None):
                 batch["voxels"], batch["num_points"],
                 batch["coordinates"],
             )
+        if bf16:
+            # bf16 forward/backward with fp32 master params; the loss
+            # (focal CE + smooth-L1 on decoded offsets) runs fp32 on
+            # fp32-cast head outputs — cheap next to the RPN convs
+            params = cast_floating(params, jnp.bfloat16)
+            voxels = voxels.astype(jnp.bfloat16)
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             voxels,
@@ -121,6 +136,8 @@ def make_detection_train_step(model, loss_cfg, pillarize=None):
             train=True,
             mutable=["batch_stats"],
         )
+        if bf16:
+            preds = cast_floating(preds, jnp.float32)
         loss, metrics = compute_loss(
             preds,
             batch["labels"],
@@ -128,9 +145,15 @@ def make_detection_train_step(model, loss_cfg, pillarize=None):
             batch["anchors"],
             loss_cfg,
         )
-        return loss, (metrics, preds, mutated["batch_stats"])
+        new_stats = cast_floating(mutated["batch_stats"], jnp.float32)
+        return loss, (metrics, preds, new_stats)
 
-    @jax.jit
+    # donate params/opt-state: at KITTI scale the Adam moments alone are
+    # ~10 MB and XLA can update them in place instead of allocating a
+    # fresh copy every step. The running-metric states stay undonated —
+    # their freshly-created scalar leaves can alias one constant buffer,
+    # which trips XLA's donate-same-buffer-twice check.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rm: dict):
         (loss, (metrics, preds, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -381,7 +404,8 @@ def train(
     state = replicate(mesh, state)
 
     train_step, init_rm = make_detection_train_step(
-        model, loss_cfg, pillarize
+        model, loss_cfg, pillarize,
+        precision=str(cfg.TRAIN_CONFIG.get("PRECISION", "fp32")),
     )
     running = init_rm()
     predict_step = make_predict_step(
@@ -465,7 +489,7 @@ def train(
 
                         log(get_official_eval_result(
                             gt_annos, annos,
-                            list(cfg.EVAL_INPUT_READER.CLASS_NAMES)[0],
+                            list(cfg.EVAL_INPUT_READER.CLASS_NAMES),
                         ))
                 if step >= total_steps:
                     break
@@ -644,7 +668,7 @@ def evaluate_checkpoint(
         if len(gt_annos) == len(annos):
             result = get_official_eval_result(
                 gt_annos, annos,
-                list(cfg.EVAL_INPUT_READER.CLASS_NAMES)[0],
+                list(cfg.EVAL_INPUT_READER.CLASS_NAMES),
             )
             log(result)
             return annos, result

@@ -1,5 +1,8 @@
 from papc_tpu.models.classify.kdnet import KDNet
-from papc_tpu.models.classify.pointnet import PointNetClas
+from papc_tpu.models.classify.pointnet import (
+    PointNetClas,
+    PointNetConv2DClas,
+)
 from papc_tpu.models.classify.pointnet2 import (
     PointNet2MSGClas,
     PointNet2SSGClas,
@@ -13,6 +16,7 @@ __all__ = [
     "KDNet",
     "PointNetBasicClas",
     "PointNetClas",
+    "PointNetConv2DClas",
     "VFEClas",
     "PointNet2SSGClas",
     "PointNet2MSGClas",

@@ -47,6 +47,15 @@ def init_model(
                 ),
                 "points",
             ),
+            # the reference ships (but never exports) a Conv2D-flavored
+            # PointNet with a LogSoftmax head; here it is a first-class
+            # registry entry (pointnet_Conv2D.py)
+            "pointnet_conv2d": (
+                classify.PointNetConv2DClas(
+                    num_classes=num_classes, max_point=max_point
+                ),
+                "points",
+            ),
             "vfe": (
                 classify.VFEClas(
                     num_classes=num_classes, max_points=max_point

@@ -19,6 +19,7 @@ import time
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 from flax.training import train_state
@@ -77,10 +78,28 @@ def create_train_state(
     )
 
 
-def make_train_step(spec: ModelSpec, num_parts: int = 50):
-    """Build the jitted training step for a model spec."""
+def make_train_step(
+    spec: ModelSpec, num_parts: int = 50, precision: str = "fp32"
+):
+    """Build the jitted training step for a model spec.
+
+    ``precision='bf16'`` runs the forward/backward in bfloat16 — the
+    TPU-native mixed-precision mode (params, optimizer state, and BN
+    running stats stay fp32 masters; activations and the backward pass
+    are bf16; the loss reduces in fp32). bf16's fp32-sized exponent makes
+    the reference's fp16 loss-scaling machinery (``libs/tools/optim.py``)
+    unnecessary, though :mod:`papc_tpu.train.precision` still provides it.
+    """
+    from papc_tpu.train.precision import cast_floating
+
+    bf16 = precision == "bf16"
+    if precision not in ("fp32", "bf16"):
+        raise ValueError(f"unknown precision {precision!r}")
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
+        if bf16:
+            params = cast_floating(params, jnp.bfloat16)
+            batch = cast_floating(batch, jnp.bfloat16)
         inputs = model_inputs(spec, batch)
         out, mutated = spec.model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -90,8 +109,14 @@ def make_train_step(spec: ModelSpec, num_parts: int = 50):
             rngs={"dropout": dropout_rng},
         )
         targets = targets_of(spec, batch)
-        loss = M.softmax_cross_entropy(out, targets, batch["mask"])
-        return loss, (out, mutated["batch_stats"])
+        loss = M.softmax_cross_entropy(
+            out.astype(jnp.float32), targets, batch["mask"]
+        )
+        # keep BN running stats fp32 regardless of compute dtype — a
+        # bf16 leaf here alternates the state dtype step-over-step and
+        # forces an XLA recompile every step
+        new_stats = cast_floating(mutated["batch_stats"], jnp.float32)
+        return loss, (out, new_stats)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, dropout_rng):
@@ -242,6 +267,7 @@ def train(
     path: str = "./dataset/",
     model_dir: str = "./model/",
     seed: int = 0,
+    precision: str = "fp32",
     make_loader: Callable | None = None,
     log: Callable[[str], None] = print,
 ):
@@ -276,7 +302,7 @@ def train(
         spec, rng, first, learning_rate, weight_decay
     )
     state = replicate(mesh, state)
-    train_step, eval_step = make_train_step(spec, num_parts)
+    train_step, eval_step = make_train_step(spec, num_parts, precision)
 
     from papc_tpu.data.prefetch import prefetch_to_device
     from papc_tpu.parallel.mesh import data_sharding

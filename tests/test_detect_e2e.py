@@ -212,3 +212,31 @@ def test_eval_no_detections_give_0(rng):
         gt_annos, dt_annos, "Car", return_data=True
     )
     assert data[(0, "0.7")]["3d"][1] == 0.0
+
+
+def test_burnin_lr_schedule():
+    """ExponentialDecayWithBurnin (reference learning_schedules.py:89-116,
+    intended semantics): burnin LR until burnin_steps, then staircase
+    exponential decay of the base LR."""
+    from papc_tpu.detect.builders import build_lr_schedule
+    from papc_tpu.detect.config import Config
+
+    opt_cfg = Config.wrap({
+        "learning_rate": {
+            "name": "exponential_decay_with_burnin",
+            "decay_steps": 10,
+            "decay_factor": 0.5,
+            "burnin_learning_rate": 1e-4,
+            "burnin_steps": 5,
+        }
+    })
+    sched = build_lr_schedule(opt_cfg, base_lr=1e-2)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(4)) == pytest.approx(1e-4)
+    assert float(sched(5)) == pytest.approx(1e-2)
+    assert float(sched(10)) == pytest.approx(5e-3)
+    assert float(sched(25)) == pytest.approx(2.5e-3)
+    # burnin_learning_rate == 0 -> burnin holds base_lr
+    opt_cfg.learning_rate.burnin_learning_rate = 0.0
+    sched0 = build_lr_schedule(opt_cfg, base_lr=1e-2)
+    assert float(sched0(0)) == pytest.approx(1e-2)

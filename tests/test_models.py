@@ -40,6 +40,7 @@ def _inputs(spec, num_classes=4):
 POINT_COMBOS = [
     ("pointnet_basic", "clas"),
     ("pointnet", "clas"),
+    ("pointnet_conv2d", "clas"),
     ("vfe", "clas"),
     ("pointnet2_ssg", "clas"),
     ("pointnet2_msg", "clas"),
@@ -132,4 +133,20 @@ def test_tnet_initial_transform_is_identity():
     t = tnet.apply(variables, pts, train=False)
     np.testing.assert_allclose(
         np.asarray(t), np.tile(np.eye(3), (2, 1, 1)), atol=1e-5
+    )
+
+
+def test_pointnet_conv2d_returns_log_probs():
+    """The Conv2D variant ends in LogSoftmax (pointnet_Conv2D.py:75):
+    exp(out) must be a probability distribution."""
+    spec = init_model("pointnet_conv2d", "clas", 4, max_point=N)
+    inputs = _inputs(spec, 4)
+    variables = spec.model.init(
+        {"params": KEY, "dropout": KEY}, *inputs, train=False
+    )
+    out = spec.model.apply(variables, *inputs, train=False)
+    assert out.shape == (B, 4)
+    assert float(jnp.max(out)) <= 0.0
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(jnp.exp(out), -1)), np.ones(B), rtol=1e-5
     )

@@ -30,6 +30,10 @@ parser.add_argument("--path", type=str, default="./dataset/",
 parser.add_argument("--model_dir", type=str, default="./model/",
                     help="Where checkpoints are written")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--precision", type=str, default="fp32",
+                    choices=["fp32", "bf16"],
+                    help="bf16 runs forward/backward in bfloat16 "
+                         "(fp32 master params/optimizer state)")
 parser.add_argument("--evaluate", action="store_true",
                     help="evaluate --checkpoint on the test split instead of training")
 parser.add_argument("--checkpoint", type=str, default=None)
@@ -66,4 +70,5 @@ if __name__ == "__main__":
         args.path,
         model_dir=args.model_dir,
         seed=args.seed,
+        precision=args.precision,
     )

@@ -53,12 +53,19 @@ def _calib_text(P, rect, Tr):
     return "\n".join(lines) + "\n"
 
 
-def make_scene(rng, num_cars=3, n_background=2000):
+def make_scene(
+    rng,
+    num_cars=3,
+    n_background=2000,
+    x_range=(8.0, 50.0),
+    y_range=(-15.0, 15.0),
+    car_points=(80, 200),
+):
     """Random lidar-frame scene. Returns (points [N,4], gt_boxes [M,7])."""
     boxes = []
     for _ in range(num_cars):
-        x = rng.uniform(8.0, 50.0)
-        y = rng.uniform(-15.0, 15.0)
+        x = rng.uniform(*x_range)
+        y = rng.uniform(*y_range)
         z = rng.uniform(-1.8, -1.4)  # bottom near ground
         w, l, h = 1.6, 3.9, 1.56
         yaw = rng.uniform(-np.pi, np.pi)
@@ -79,7 +86,7 @@ def make_scene(rng, num_cars=3, n_background=2000):
     pts.append(g)
     # car point clusters (uniform inside each box, rotated+translated)
     for b in gt_boxes:
-        n = int(rng.randint(80, 200))
+        n = int(rng.randint(*car_points))
         local = np.stack(
             [
                 rng.uniform(-b[3] / 2, b[3] / 2, n),
@@ -103,6 +110,9 @@ def write_kitti(
     n_val: int = 4,
     seed: int = 0,
     num_cars: int = 3,
+    x_range=(8.0, 50.0),
+    y_range=(-15.0, 15.0),
+    car_points=(80, 200),
 ) -> str:
     """Create a miniature KITTI tree under ``path``."""
     rng = np.random.RandomState(seed)
@@ -121,7 +131,10 @@ def write_kitti(
     ids = list(range(n_train + n_val))
     for idx in ids:
         stem = f"{idx:06d}"
-        points, gt_lidar = make_scene(rng, num_cars=num_cars)
+        points, gt_lidar = make_scene(
+            rng, num_cars=num_cars, x_range=x_range, y_range=y_range,
+            car_points=car_points,
+        )
         points.tofile(str(root / "training" / "velodyne" / f"{stem}.bin"))
         (root / "training" / "calib" / f"{stem}.txt").write_text(calib_text)
         img.save(str(root / "training" / "image_2" / f"{stem}.png"))

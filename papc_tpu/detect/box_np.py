@@ -555,6 +555,47 @@ def get_frustum(bbox_image, C, near_clip=0.001, far_clip=100.0):
     )
 
 
+def minmax_to_corner_2d(minmax_boxes: np.ndarray) -> np.ndarray:
+    """[N, 4] (x0,y0,x1,y1) → corner boxes [N, 4, 2] in the order used by
+    :func:`get_frustum` (reference ``minmax_to_corner_2d_v2``)."""
+    b = minmax_boxes
+    return np.stack(
+        [
+            np.stack([b[:, 0], b[:, 1]], -1),
+            np.stack([b[:, 0], b[:, 3]], -1),
+            np.stack([b[:, 2], b[:, 3]], -1),
+            np.stack([b[:, 2], b[:, 1]], -1),
+        ],
+        axis=1,
+    )
+
+
+def get_frustum_batch(bboxes, C, near_clip=0.001, far_clip=100.0):
+    """Batched :func:`get_frustum`: image bboxes [N, 4] → frustum corner
+    points [N, 8, 3] in camera coords (reference ``get_frustum_v2``
+    :499-516)."""
+    fku = C[0, 0]
+    fkv = -C[1, 1]
+    u0v0 = C[0:2, 2]
+    num_box = bboxes.shape[0]
+    z_points = np.tile(
+        np.array(
+            [near_clip] * 4 + [far_clip] * 4, dtype=C.dtype
+        )[None, :, None],
+        (num_box, 1, 1),
+    )
+    box_corners = minmax_to_corner_2d(bboxes)
+    near = (box_corners - u0v0) / np.array(
+        [fku / near_clip, -fkv / near_clip], dtype=C.dtype
+    )
+    far = (box_corners - u0v0) / np.array(
+        [fku / far_clip, -fkv / far_clip], dtype=C.dtype
+    )
+    return np.concatenate(
+        [np.concatenate([near, far], axis=1), z_points], axis=-1
+    )
+
+
 def remove_outside_points(points, rect, Trv2c, P2, image_shape):
     """Frustum-cull points outside the camera image
     (reference :639-650)."""

@@ -135,11 +135,15 @@ def build_dbsampler(cfg, root_path, rng=None, log=print):
             )
         )
     groups = [dict(g.name_to_max_num) for g in cfg.sample_groups]
+    grot_range = cfg.get("global_random_rotation_range_per_object")
+    if grot_range is not None:
+        grot_range = list(grot_range)
     return DataBaseSamplerV2(
         db_infos,
         groups,
         db_prepor=DataBasePreprocessor(preps) if preps else None,
         rate=float(cfg.get("rate", 1.0)),
+        global_rot_range=grot_range,
         rng=rng,
         log=log,
     )
@@ -333,6 +337,13 @@ def build_prep_func(
         gt_loc_noise_std=tuple(
             r.get("GROUNDTRUTH_LOCALIZATION_NOISE_STD", (0.25,) * 3)
         ),
+        global_random_rot_range=tuple(
+            r.get(
+                "GLOBAL_RANDOM_ROTATION_RANGE_PER_OBJECT", (0.0, 0.0)
+            )
+        ),
+        random_crop=bool(r.get("RANDOM_CROP", False)),
+        use_group_id=bool(r.get("USE_GROUP_ID", False)),
         global_rotation_noise=tuple(
             r.get("GLOBAL_ROTATION_UNIFORM_NOISE", (-0.785, 0.785))
         ),

@@ -101,20 +101,96 @@ def _rotate_corners(corners, angle):
     return corners @ rot
 
 
+def _rotate_corners_batch(corners, angles):
+    """corners [..., 4, 2] rotated by angles [...] (corners @ R)."""
+    c, s = np.cos(angles), np.sin(angles)
+    rot = np.stack(
+        [np.stack([c, s], -1), np.stack([-s, c], -1)], -2
+    )  # [..., 2, 2] equal to [[c,-s],[s,c]] applied as corners @ R
+    return np.einsum("...ij,...jk->...ik", corners, rot)
+
+
+def _set_group_noise_same_(loc_noises, rot_noises, group_ids, grot=None):
+    """All members of a group draw the FIRST member's noise (reference
+    ``set_group_noise_same_(_v2_)`` :549-567)."""
+    first = {}
+    for i, gid in enumerate(group_ids):
+        first.setdefault(gid, i)
+    src = np.array([first[g] for g in group_ids])
+    loc_noises[:] = loc_noises[src]
+    rot_noises[:] = rot_noises[src]
+    if grot is not None:
+        grot[:] = grot[src]
+
+
+def _get_group_center(locs, group_ids):
+    """Per-box centroid of its group + ordered group sizes (reference
+    ``get_group_center`` :570-589; boxes must be sorted by group id)."""
+    centers = np.zeros_like(locs)
+    sizes = {}
+    sums = {}
+    for i, gid in enumerate(group_ids):
+        sums.setdefault(gid, np.zeros(locs.shape[1]))
+        sums[gid] = sums[gid] + locs[i]
+        sizes[gid] = sizes.get(gid, 0) + 1
+    for i, gid in enumerate(group_ids):
+        centers[i] = sums[gid] / sizes[gid]
+    group_nums = np.array(list(sizes.values()), np.int64)
+    return centers, group_nums
+
+
+def _group_transform_(loc_noises, rot_noises, locs, group_center,
+                      valid_mask, grot_noises=None):
+    """Add the rotate-around-group-center displacement to each member's
+    loc noise so a shared rot noise swings the whole group rigidly
+    (reference ``group_transform_(_v2_)`` :498-546)."""
+    x = locs[:, 0] - group_center[:, 0]
+    y = locs[:, 1] - group_center[:, 1]
+    r = np.sqrt(x**2 + y**2)
+    rot_center = np.arctan2(x, y)
+    v = valid_mask
+    rc = rot_center[v, None]
+    if grot_noises is None:
+        loc_noises[v, :, 0] += r[v, None] * (
+            np.sin(rc + rot_noises[v]) - np.sin(rc)
+        )
+        loc_noises[v, :, 1] += r[v, None] * (
+            np.cos(rc + rot_noises[v]) - np.cos(rc)
+        )
+    else:
+        g = grot_noises[v]
+        loc_noises[v, :, 0] += r[v, None] * (
+            np.sin(rc + rot_noises[v] + g) - np.sin(rc + g)
+        )
+        loc_noises[v, :, 1] += r[v, None] * (
+            np.cos(rc + rot_noises[v] + g) - np.cos(rc + g)
+        )
+
+
 def noise_per_object_(
     gt_boxes: np.ndarray,
     points: np.ndarray | None = None,
     valid_mask: np.ndarray | None = None,
     rotation_perturb=np.pi / 4,
     center_noise_std=1.0,
+    global_random_rot_range=0.0,
     num_try: int = 100,
+    group_ids: np.ndarray | None = None,
     rng: np.random.RandomState | None = None,
 ):
     """Independently perturb each GT box (location + yaw), rejecting
     trials that collide with any other current box; move the points inside
     each box along with it. In-place on ``gt_boxes``/``points``
-    (reference ``noise_per_object_v3_`` :593-686 without group/global-rot
-    modes, which the shipped config disables — ``yaml:163``)."""
+    (reference ``noise_per_object_v3_`` :593-686, all four modes):
+
+    - ``group_ids``: members of a group share one noise draw and swing
+      rigidly around the group centroid; a group's trial is accepted only
+      if NO member collides (reference ``noise_per_box_group(_v2_)``).
+    - ``global_random_rot_range``: additionally slide each box along its
+      circle around the origin by a random global angle before the local
+      perturbation (reference ``noise_per_box_v2_``; used by the GT-DB
+      sampler to "place samples to any place in a circle").
+    """
     if rng is None:
         rng = np.random.RandomState()
     num_boxes = len(gt_boxes)
@@ -122,6 +198,14 @@ def noise_per_object_(
         return
     if not isinstance(rotation_perturb, (list, tuple, np.ndarray)):
         rotation_perturb = [-rotation_perturb, rotation_perturb]
+    if not isinstance(global_random_rot_range, (list, tuple, np.ndarray)):
+        global_random_rot_range = [
+            -global_random_rot_range, global_random_rot_range
+        ]
+    enable_grot = (
+        np.abs(global_random_rot_range[0] - global_random_rot_range[1])
+        >= 1e-3
+    )
     if not isinstance(center_noise_std, (list, tuple, np.ndarray)):
         center_noise_std = [center_noise_std] * 3
     if valid_mask is None:
@@ -135,36 +219,114 @@ def noise_per_object_(
         rotation_perturb[0], rotation_perturb[1],
         size=[num_boxes, num_try],
     )
+    grot_noises = None
+    if enable_grot:
+        # uniform absolute circle angle within the range, expressed as a
+        # delta from each box's current angle (reference :630-636)
+        gt_grots = np.arctan2(gt_boxes[:, 0], gt_boxes[:, 1])
+        grot_noises = rng.uniform(
+            (global_random_rot_range[0] - gt_grots)[:, None],
+            (global_random_rot_range[1] - gt_grots)[:, None],
+            size=[num_boxes, num_try],
+        )
+
+    group_nums = None
+    if group_ids is not None:
+        _set_group_noise_same_(
+            loc_noises, rot_noises, group_ids, grot_noises
+        )
+        group_centers, group_nums = _get_group_center(
+            gt_boxes[:, :3], group_ids
+        )
+        _group_transform_(
+            loc_noises, rot_noises, gt_boxes[:, :3], group_centers,
+            valid_mask, grot_noises,
+        )
 
     bev = gt_boxes[:, [0, 1, 3, 4, 6]]
     box_corners = box_np.center_to_corner_box2d(
         bev[:, :2], bev[:, 2:4], bev[:, 4]
     )
-    selected = -np.ones(num_boxes, np.int64)
-    for i in range(num_boxes):
-        if not valid_mask[i]:
-            continue
-        center = bev[i, :2]
-        base = box_corners[i] - center  # [4, 2]
-        # all trials at once: [T, 4, 2]
-        cand = np.stack(
-            [_rotate_corners(base, rot_noises[i, j]) for j in range(num_try)]
+
+    # candidate corners per (box, trial): [N, T, 4, 2]. Depends only on
+    # each box's ORIGINAL pose, so precompute for all boxes at once.
+    if not enable_grot:
+        base = box_corners - bev[:, None, :2]  # [N, 4, 2]
+        cand_all = _rotate_corners_batch(
+            np.broadcast_to(
+                base[:, None], (num_boxes, num_try, 4, 2)
+            ),
+            rot_noises,
         )
-        cand = cand + (center + loc_noises[i, :, :2])[:, None, :]
-        coll = box_collision_test(cand, box_corners)  # [T, N]
-        coll[:, i] = False
-        ok = ~coll.any(axis=1)
-        hit = np.flatnonzero(ok)
-        if len(hit):
-            j = int(hit[0])
-            selected[i] = j
-            box_corners[i] = cand[j]
+        cand_all = cand_all + (
+            bev[:, None, :2] + loc_noises[..., :2]
+        )[:, :, None, :]
+        dst_delta_pos = None
+        dst_delta_rot = None
+    else:
+        radius = np.sqrt(bev[:, 0] ** 2 + bev[:, 1] ** 2)
+        cur_grot = np.arctan2(bev[:, 0], bev[:, 1])
+        dst_grot = cur_grot[:, None] + grot_noises  # [N, T]
+        dst_pos = np.stack(
+            [radius[:, None] * np.sin(dst_grot),
+             radius[:, None] * np.cos(dst_grot)],
+            axis=-1,
+        )  # [N, T, 2]
+        yaw_new = bev[:, None, 4] + (dst_grot - cur_grot[:, None])
+        base = box_np.corners_nd(bev[:, 2:4])  # [N, 4, 2] centered
+        cand_all = _rotate_corners_batch(
+            np.broadcast_to(
+                base[:, None], (num_boxes, num_try, 4, 2)
+            ),
+            yaw_new,
+        )
+        cand_all = _rotate_corners_batch(cand_all, rot_noises)
+        cand_all = cand_all + (
+            dst_pos + loc_noises[..., :2]
+        )[:, :, None, :]
+        dst_delta_pos = dst_pos - bev[:, None, :2]  # [N, T, 2]
+        dst_delta_rot = dst_grot - cur_grot[:, None]  # [N, T]
+
+    selected = -np.ones(num_boxes, np.int64)
+    if group_nums is None:
+        for i in range(num_boxes):
+            if not valid_mask[i]:
+                continue
+            coll = box_collision_test(cand_all[i], box_corners)  # [T, N]
+            coll[:, i] = False
+            hit = np.flatnonzero(~coll.any(axis=1))
+            if len(hit):
+                j = int(hit[0])
+                selected[i] = j
+                box_corners[i] = cand_all[i, j]
+    else:
+        # joint trial per group: every member must be collision-free
+        idx = 0
+        for num in group_nums:
+            members = slice(idx, idx + num)
+            if valid_mask[idx]:
+                cand = cand_all[members]  # [num, T, 4, 2]
+                coll = box_collision_test(
+                    cand.reshape(-1, 4, 2), box_corners
+                ).reshape(num, num_try, num_boxes)
+                coll[:, :, members] = False
+                hit = np.flatnonzero(~coll.any(axis=(0, 2)))
+                if len(hit):
+                    j = int(hit[0])
+                    selected[members] = j
+                    box_corners[members] = cand[:, j]
+            idx += num
 
     loc_t = np.zeros((num_boxes, 3), gt_boxes.dtype)
     rot_t = np.zeros((num_boxes,), gt_boxes.dtype)
     chosen = selected >= 0
     loc_t[chosen] = loc_noises[chosen, selected[chosen]]
     rot_t[chosen] = rot_noises[chosen, selected[chosen]]
+    if enable_grot:
+        # fold the circle displacement into the applied transform
+        # (reference :393-396)
+        loc_t[chosen, :2] += dst_delta_pos[chosen, selected[chosen]]
+        rot_t[chosen] += dst_delta_rot[chosen, selected[chosen]]
 
     if points is not None and num_boxes > 0:
         masks = box_np.points_in_rbbox(points, gt_boxes)  # [P, N]
@@ -184,6 +346,50 @@ def noise_per_object_(
     ok = valid_mask & chosen
     gt_boxes[ok, :3] += loc_t[ok]
     gt_boxes[ok, 6] += rot_t[ok]
+
+
+# ----------------------------------------------------- frustum crop (aug)
+
+def random_crop_frustum(
+    bboxes: np.ndarray,
+    rect: np.ndarray,
+    Trv2c: np.ndarray,
+    P2: np.ndarray,
+    max_crop_height: float = 1.0,
+    max_crop_width: float = 0.9,
+    rng: np.random.RandomState | None = None,
+) -> np.ndarray:
+    """Random sub-rectangle of each image bbox → lidar-frame frustum
+    corner points [N, 8, 3] (reference ``random_crop_frustum``
+    :104-129). Used by the GT-DB sampler to randomly truncate pasted
+    objects the way image-crop truncation would."""
+    rng = rng or np.random.RandomState()
+    num_gt = bboxes.shape[0]
+    crop_minxy = rng.uniform(
+        [1 - max_crop_width, 1 - max_crop_height], [0.3, 0.3],
+        size=[num_gt, 2],
+    )
+    crop_maxxy = np.ones([num_gt, 2], dtype=bboxes.dtype)
+    crop_bboxes = np.concatenate([crop_minxy, crop_maxxy], axis=1)
+    if rng.rand() < 0.5:  # crop from the left instead of the right
+        crop_bboxes[:, [0, 2]] -= crop_bboxes[:, 0:1]
+    # relative → absolute image coordinates
+    crop_bboxes *= np.tile(bboxes[:, 2:] - bboxes[:, :2], [1, 2])
+    crop_bboxes += np.tile(bboxes[:, :2], [1, 2])
+    C, R, T = box_np.projection_matrix_to_CRT_kitti(P2)
+    frustums = box_np.get_frustum_batch(crop_bboxes, C)
+    frustums -= T
+    frustums = np.einsum("ij,akj->aki", np.linalg.inv(R), frustums)
+    return box_np.camera_to_lidar(frustums, rect, Trv2c)
+
+
+def mask_points_in_corners(
+    points: np.ndarray, box_corners: np.ndarray
+) -> np.ndarray:
+    """[P, N] mask of points inside 3D corner boxes (reference
+    ``mask_points_in_corners`` :189-192)."""
+    surfaces = box_np.corner_to_surfaces_3d(box_corners)
+    return box_np.points_in_convex_polygon_3d(points[:, :3], surfaces)
 
 
 # --------------------------------------------------------- global aug ops

@@ -55,6 +55,9 @@ def prep_pointcloud(
     remove_unknown=False,
     gt_rotation_noise=(-np.pi / 3, np.pi / 3),
     gt_loc_noise_std=(1.0, 1.0, 1.0),
+    global_random_rot_range=(0.0, 0.0),
+    random_crop=False,
+    use_group_id=False,
     global_rotation_noise=(-np.pi / 4, np.pi / 4),
     global_scaling_noise=(0.95, 1.05),
     global_loc_noise_std=(0.2, 0.2, 0.2),
@@ -94,22 +97,32 @@ def prep_pointcloud(
         gt_boxes = input_dict["gt_boxes"]
         gt_names = input_dict["gt_names"]
         difficulty = input_dict["difficulty"]
+        group_ids = None
+        if use_group_id and "group_ids" in input_dict:
+            group_ids = input_dict["group_ids"]
 
         selected = drop_arrays_by_name(gt_names, ["DontCare"])
         gt_boxes = gt_boxes[selected]
         gt_names = gt_names[selected]
         difficulty = difficulty[selected]
+        if group_ids is not None:
+            group_ids = group_ids[selected]
         gt_boxes = box_np.box_camera_to_lidar(gt_boxes, rect, Trv2c)
         if remove_unknown:
             keep = difficulty != -1
             gt_boxes, gt_names = gt_boxes[keep], gt_names[keep]
             difficulty = difficulty[keep]
+            if group_ids is not None:
+                group_ids = group_ids[keep]
         gt_boxes_mask = np.array(
             [n in class_names for n in gt_names], dtype=bool
         )
         if db_sampler is not None:
             sampled_dict = db_sampler.sample_all(
-                root_path, gt_boxes, gt_names, num_point_features
+                root_path, gt_boxes, gt_names, num_point_features,
+                random_crop=random_crop,
+                gt_group_ids=group_ids,
+                rect=rect, Trv2c=Trv2c, P2=P2,
             )
             if sampled_dict is not None:
                 gt_names = np.concatenate(
@@ -121,6 +134,10 @@ def prep_pointcloud(
                 gt_boxes_mask = np.concatenate(
                     [gt_boxes_mask, sampled_dict["gt_masks"]]
                 )
+                if group_ids is not None:
+                    group_ids = np.concatenate(
+                        [group_ids, sampled_dict["group_ids"]]
+                    )
                 if remove_points_after_sample:
                     points = remove_points_in_boxes(
                         points, sampled_dict["gt_boxes"]
@@ -140,7 +157,9 @@ def prep_pointcloud(
             gt_boxes_mask,
             rotation_perturb=gt_rotation_noise,
             center_noise_std=gt_loc_noise_std,
+            global_random_rot_range=list(global_random_rot_range),
             num_try=100,
+            group_ids=group_ids,
             rng=rng,
         )
         gt_boxes = gt_boxes[gt_boxes_mask]

@@ -68,28 +68,78 @@ def bench_train_step(precision="fp32"):
     return dt
 
 
-def bench_pillarize():
-    """Full-KITTI-scale cloud → pillars, host native voxelizer
-    (reference numba claim: ~4.2 ms, ``point_cloud_ops.py:113-115``)."""
+def _kitti_cloud(n=120000):
     rs = np.random.RandomState(0)
-    pts = np.stack(
+    return np.stack(
         [
-            rs.uniform(0, 69.12, 120000),
-            rs.uniform(-39.68, 39.68, 120000),
-            rs.uniform(-3, 1, 120000),
-            rs.rand(120000),
+            rs.uniform(0, 69.12, n),
+            rs.uniform(-39.68, 39.68, n),
+            rs.uniform(-3, 1, n),
+            rs.rand(n),
         ],
         axis=1,
     ).astype(np.float32)
+
+
+PILLARIZE_ARGS = (
+    [0.16, 0.16, 4.0], [0, -39.68, -3, 69.12, 39.68, 1], 100, 12000
+)
+
+
+def bench_pillarize():
+    """Full-KITTI-scale cloud → static padded pillars, host native
+    voxelizer — the exact production feed of the train pipeline
+    (reference numba claim: ~4.2 ms kernel-only,
+    ``point_cloud_ops.py:113-115``). Returns (production_s, kernel_s):
+    production includes the caller-owned padded output allocation; kernel
+    is the amortized in-place path."""
+    pts = _kitti_cloud()
+    from papc_tpu import cc
     from papc_tpu.detect.voxelize_np import points_to_voxel
 
-    args = ([0.16, 0.16, 4.0], [0, -39.68, -3, 69.12, 39.68, 1], 100, 12000)
-    points_to_voxel(pts, *args)  # warmup
+    points_to_voxel(pts, *PILLARIZE_ARGS, pad_output=True)  # warmup
+    reps = 30
     t0 = time.perf_counter()
-    reps = 20
     for _ in range(reps):
-        points_to_voxel(pts, *args)
-    return (time.perf_counter() - t0) / reps
+        points_to_voxel(pts, *PILLARIZE_ARGS, pad_output=True)
+    production = (time.perf_counter() - t0) / reps
+    cc.points_to_voxel(pts, *PILLARIZE_ARGS)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        cc.points_to_voxel(pts, *PILLARIZE_ARGS)
+    kernel = (time.perf_counter() - t0) / reps
+    return production, kernel
+
+
+def bench_device_pillarize():
+    """Device-side pillarization (papc_tpu.ops.voxelize, the
+    make_pillarizer path): one full-scale frame, jitted on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.ops import voxelize
+
+    pts = _kitti_cloud(25000)  # MAX_POINTS_PER_FRAME production cap
+    vsize, prange, max_points, max_voxels = PILLARIZE_ARGS
+    grid = (432, 496, 1)
+
+    @jax.jit
+    def pillarize(p, m):
+        out = voxelize(
+            p, m, tuple(vsize), tuple(prange), grid, max_points,
+            max_voxels,
+        )
+        return out.voxels, out.num_points, out.coords
+
+    pj = jnp.asarray(pts)
+    mj = jnp.ones((len(pts),), bool)
+    v, n, c = pillarize(pj, mj)
+    v.block_until_ready()
+
+    def step():
+        return pillarize(pj, mj)[0]
+
+    return _median_time(step, lambda x: x.block_until_ready(), steps=10)
 
 
 def bench_pointpillars_step(precision="fp32"):
@@ -203,7 +253,9 @@ def main():
     step_time_bf16 = bench_train_step(precision="bf16")
     pts_per_sec = B * N / step_time
     epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
-    pillarize_ms = bench_pillarize() * 1e3
+    pillarize_s, pillarize_kernel_s = bench_pillarize()
+    pillarize_ms = pillarize_s * 1e3
+    device_pillarize_ms = bench_device_pillarize() * 1e3
     print(
         json.dumps(
             {
@@ -221,6 +273,12 @@ def main():
                     "step_ms_bf16": round(step_time_bf16 * 1e3, 3),
                     "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
                     "pillarize_ms_per_frame": round(pillarize_ms, 3),
+                    "pillarize_kernel_ms_per_frame": round(
+                        pillarize_kernel_s * 1e3, 3
+                    ),
+                    "device_pillarize_ms_per_frame": round(
+                        device_pillarize_ms, 3
+                    ),
                     "pointpillars_step_ms": round(pp_step * 1e3, 3),
                     "pointpillars_step_ms_bf16": round(
                         pp_step_bf16 * 1e3, 3

@@ -56,21 +56,25 @@ def points_to_voxel(
             from papc_tpu import cc
 
             if cc.available():
+                if pad_output:
+                    # kernel writes straight into fresh caller-owned
+                    # padded arrays — no trim-then-pad recopy
+                    pv, pc, pn, K = cc.points_to_voxel_padded(
+                        points, voxel_size, point_cloud_range,
+                        max_points, max_voxels,
+                    )
+                    if not reverse_index:
+                        pc[:K] = pc[:K, ::-1]
+                    return pv, pc, pn
+                # cc returns views into reused buffers — copy here so
+                # the public contract stays "caller owns the result"
                 voxels, coords, nppv = cc.points_to_voxel(
                     points, voxel_size, point_cloud_range,
                     max_points, max_voxels,
                 )
-                K = len(nppv)
                 if not reverse_index:
                     coords = coords[:, ::-1]
-                if pad_output:
-                    D = points.shape[1]
-                    pv = np.zeros((max_voxels, max_points, D), np.float32)
-                    pc = np.zeros((max_voxels, 3), np.int32)
-                    pn = np.zeros((max_voxels,), np.int32)
-                    pv[:K], pc[:K], pn[:K] = voxels, coords, nppv
-                    return pv, pc, pn
-                return voxels, coords, nppv
+                return voxels.copy(), coords.copy(), nppv.copy()
         except Exception:
             pass
     return _points_to_voxel_np(

@@ -84,23 +84,28 @@ def make_scene(
         axis=1,
     )
     pts.append(g)
-    # car point clusters (uniform inside each box, rotated+translated)
+    # car point clusters (uniform inside each box, rotated+translated).
+    # Rotation MUST use the pipeline's yaw convention
+    # (rotation_points_single_angle's row-vector form) or the labels are
+    # inconsistent with the points for diagonal cars — the capture rate
+    # of points_in_rbbox on its own boxes is the invariant.
     for b in gt_boxes:
         n = int(rng.randint(*car_points))
         local = np.stack(
             [
-                rng.uniform(-b[3] / 2, b[3] / 2, n),
-                rng.uniform(-b[4] / 2, b[4] / 2, n),
+                rng.uniform(-b[3] / 2 + 0.03, b[3] / 2 - 0.03, n),
+                rng.uniform(-b[4] / 2 + 0.03, b[4] / 2 - 0.03, n),
                 rng.uniform(0.05, b[5] - 0.05, n),
-                rng.uniform(0, 1, n),
             ],
             axis=1,
         )
-        c, s = np.cos(b[6]), np.sin(b[6])
-        x = local[:, 0] * c - local[:, 1] * s + b[0]
-        y = local[:, 0] * s + local[:, 1] * c + b[1]
-        z = local[:, 2] + b[2]
-        pts.append(np.stack([x, y, z, local[:, 3]], axis=1))
+        xyz = box_np.rotation_points_single_angle(
+            local, b[6], axis=2
+        ) + b[:3]
+        refl = rng.uniform(0, 1, n)
+        pts.append(
+            np.concatenate([xyz, refl[:, None]], axis=1)
+        )
     return np.concatenate(pts).astype(np.float32), gt_boxes
 
 

@@ -186,3 +186,17 @@ def test_eval_mode_prep_has_no_targets(kitti_root, pipeline):
     ex = ds[0]
     assert "labels" not in ex
     assert "anchors" in ex
+
+
+def test_synthetic_scene_labels_contain_their_points():
+    """Yaw-convention invariant of the synthetic generator: every car
+    cluster must fall inside its labeled box (a sign flip here silently
+    poisons rotation learning — the labels stay self-consistent for the
+    eval but disagree with the geometry the network sees)."""
+    from papc_tpu.data.synthetic_kitti import make_scene
+    from papc_tpu.detect import box_np
+
+    rng = np.random.RandomState(3)
+    pts, boxes = make_scene(rng, num_cars=6, n_background=0)
+    captured = box_np.points_in_rbbox(pts, boxes).any(axis=1)
+    assert captured.mean() == 1.0

@@ -240,6 +240,48 @@ def bench_pointpillars_step(precision="fp32"):
     return train_t, infer_t / Bd
 
 
+def bench_fps_large_n():
+    """FPS at large N (B=4, N=16384, npoint=2048): XLA fori_loop vs the
+    VMEM-resident Pallas kernel — the backend-selection evidence
+    (papc_tpu/ops/sampling.py crossover table)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.ops import farthest_point_sample
+
+    rs = np.random.RandomState(0)
+    xyz = jnp.asarray(rs.randn(4, 16384, 3), jnp.float32)
+    out = {}
+    for backend in ("xla", "pallas"):
+        base = functools.partial(
+            farthest_point_sample,
+            npoint=2048,
+            start_idx=0,
+            backend=backend,
+        )
+
+        # chain each call through the previous result (zero-valued
+        # perturbation): un-chained repeats of identical calls
+        # under-report through the axon relay (CLAUDE.md gotcha)
+        @jax.jit
+        def chained(x):
+            idx = base(x)
+            return idx, x + (idx.sum() * 0).astype(x.dtype)
+
+        idx, x = chained(xyz)
+        np.asarray(idx)
+        reps = 5
+        t0 = time.perf_counter()
+        x = xyz
+        for _ in range(reps):
+            idx, x = chained(x)
+        np.asarray(idx)
+        out[backend] = (time.perf_counter() - t0) / reps
+    return out
+
+
 def main():
     import jax
 
@@ -256,6 +298,7 @@ def main():
     pillarize_s, pillarize_kernel_s = bench_pillarize()
     pillarize_ms = pillarize_s * 1e3
     device_pillarize_ms = bench_device_pillarize() * 1e3
+    fps_large = bench_fps_large_n()
     print(
         json.dumps(
             {
@@ -286,7 +329,17 @@ def main():
                     "pointpillars_infer_ms_per_frame": round(
                         pp_infer * 1e3, 3
                     ),
+                    "fps_16k_xla_ms": round(fps_large["xla"] * 1e3, 2),
+                    "fps_16k_pallas_ms": round(
+                        fps_large["pallas"] * 1e3, 2
+                    ),
                     "device": str(jax.devices()[0]),
+                    # honesty: vs_baseline divides by a DOCUMENTED
+                    # ESTIMATE, not a measurement — the reference
+                    # publishes no numbers and cannot run here
+                    # (Paddle+CUDA); see BASELINE.md for the derivation
+                    "baseline_points_per_sec": BASELINE_POINTS_PER_SEC,
+                    "baseline_kind": "documented estimate (BASELINE.md)",
                 },
             }
         )

@@ -6,6 +6,13 @@ serialized host round-trips). Here the loop is a ``lax.fori_loop`` compiled
 into the XLA program: the running min-distance vector stays on chip, each
 iteration is one gather + one fused elementwise pass + one argmax over
 ``[B, N]``.
+
+Backend selection (measured on v5e, 2026-08-16): the XLA loop wins at
+small N (29 µs vs 35 µs at B=32/N=1024); the Pallas kernel
+(``papc_tpu.ops.pallas.fps``) keeps coordinates + the min-distance vector
+VMEM-resident for the whole loop and wins at large N — 1.8× at N=4096,
+3.9× at N=16384, 6.5× at N=65536 (B=1: 89 ms → 13.7 ms). ``backend=None``
+auto-selects Pallas on TPU when ``N >= _PALLAS_MIN_N``.
 """
 
 from __future__ import annotations
@@ -14,6 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# measured crossover: XLA wins at N<=2048, Pallas from N=4096 up
+_PALLAS_MIN_N = 4096
+
 
 def farthest_point_sample(
     xyz: jax.Array,
@@ -21,6 +31,7 @@ def farthest_point_sample(
     *,
     key: jax.Array | None = None,
     start_idx: jax.Array | int | None = None,
+    backend: str | None = None,
 ) -> jax.Array:
     """Iteratively pick the point farthest from the already-picked set.
 
@@ -31,11 +42,27 @@ def farthest_point_sample(
         ``paddle.randint`` per batch item, ``pointnet2_basic_layers.py:76``).
       start_idx: optional fixed initial index (scalar or ``[B]``); wins over
         ``key``. Defaults to 0 when neither is given (deterministic).
+      backend: ``"xla"`` | ``"pallas"`` | None (auto: Pallas on TPU for
+        ``N >= 4096`` — see module docstring for the measured crossover).
 
     Returns:
       ``[B, npoint]`` int32 indices into ``N``.
     """
     B, N, _ = xyz.shape
+    if backend is None:
+        use_pallas = (
+            N >= _PALLAS_MIN_N
+            and key is None  # pallas path takes a fixed start index
+            and jax.default_backend() == "tpu"
+        )
+    else:
+        use_pallas = backend == "pallas"
+    if use_pallas:
+        from papc_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+        return farthest_point_sample_pallas(
+            xyz, npoint, start_idx=0 if start_idx is None else start_idx
+        )
     if start_idx is not None:
         farthest0 = jnp.broadcast_to(
             jnp.asarray(start_idx, dtype=jnp.int32), (B,)

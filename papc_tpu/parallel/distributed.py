@@ -41,3 +41,24 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def all_mean(value, weight: float = 1.0) -> float:
+    """Weighted mean of a per-process scalar across all processes — the
+    collective-aware eval reduction (each host evaluates its shard, the
+    metric is reduced over DCN). Single-process: returns the value.
+
+    The reference has no analog (its eval is a single-device python
+    loop); this is the ``process_allgather`` recipe from SURVEY §2.3.
+    """
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    vw = multihost_utils.process_allgather(
+        np.asarray([float(value) * weight, weight], np.float64)
+    )  # [n_process, 2]
+    total_w = vw[:, 1].sum()
+    return float(vw[:, 0].sum() / max(total_w, 1e-12))

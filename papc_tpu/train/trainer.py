@@ -349,12 +349,21 @@ def train(
                     f"loss is: [{float(loss):.6f}], "
                     f"{name} is: [{float(metric):.6f}]"
                 )
+        # multi-host: each process evaluated its shard — reduce over DCN
+        from papc_tpu.parallel.distributed import all_mean
+
         history.append(
             {
                 "epoch": epoch,
                 "epoch_time": epoch_time,
-                "val_loss": sum(v_losses) / max(len(v_losses), 1),
-                "val_metric": sum(v_metrics) / max(len(v_metrics), 1),
+                "val_loss": all_mean(
+                    sum(v_losses) / max(len(v_losses), 1),
+                    weight=max(len(v_losses), 1),
+                ),
+                "val_metric": all_mean(
+                    sum(v_metrics) / max(len(v_metrics), 1),
+                    weight=max(len(v_metrics), 1),
+                ),
             }
         )
     return state, history

@@ -60,6 +60,12 @@ def total(x):
 # sum over the global [4, 3] array: 2*3*1 + 2*3*2 = 18
 out = float(total(garr))
 assert out == 18.0, out
+
+# collective-aware eval reduction: weighted mean across processes
+from papc_tpu.parallel.distributed import all_mean
+# proc0 reports 1.0 over 3 batches, proc1 reports 4.0 over 1 batch
+m = all_mean(1.0 if pid == 0 else 4.0, weight=3.0 if pid == 0 else 1.0)
+assert abs(m - (3 * 1.0 + 1 * 4.0) / 4) < 1e-9, m
 print(f"proc{pid} ok", flush=True)
 """
 

@@ -26,3 +26,21 @@ def test_start_idx_respected(rng):
     np.testing.assert_array_equal(got[:, 0], [7, 7, 7])
     want = np.asarray(farthest_point_sample(xyz, 4, start_idx=7))
     np.testing.assert_array_equal(got, want)
+
+
+def test_backend_dispatch(rng):
+    """backend='xla' forced path equals the default on CPU; the auto rule
+    only picks pallas on TPU (so CPU CI never hits interpret mode)."""
+    import jax
+
+    from papc_tpu.ops import sampling
+
+    xyz = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    a = np.asarray(farthest_point_sample(xyz, 8, start_idx=0))
+    b = np.asarray(
+        farthest_point_sample(xyz, 8, start_idx=0, backend="xla")
+    )
+    np.testing.assert_array_equal(a, b)
+    assert jax.default_backend() != "tpu"  # conftest forces CPU
+    # the auto rule must not select pallas off-TPU even at large N
+    assert sampling._PALLAS_MIN_N >= 4096

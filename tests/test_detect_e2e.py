@@ -240,3 +240,22 @@ def test_burnin_lr_schedule():
     opt_cfg.learning_rate.burnin_learning_rate = 0.0
     sched0 = build_lr_schedule(opt_cfg, base_lr=1e-2)
     assert float(sched0(0)) == pytest.approx(1e-2)
+
+
+def test_coco_eval_perfect_predictions(rng):
+    """COCO-style overlap-sweep AP (reference eval.py:856-931): perfect
+    predictions score near-100 and the report carries the sweep header."""
+    from papc_tpu.eval.kitti_eval import get_coco_eval_result
+
+    gt_annos = _make_annos(rng)
+    dt_annos = []
+    for gt in gt_annos:
+        dt = {k: np.copy(v) for k, v in gt.items()}
+        dt["score"] = np.ones(len(gt["name"]))
+        dt_annos.append(dt)
+    result = get_coco_eval_result(gt_annos, dt_annos, "Car")
+    assert "coco" in result and "AP@0.50:0.05:0.95" in result
+    # parse the 3d line: "3d   AP:xx.xx, yy.yy, zz.zz"
+    line = [l for l in result.splitlines() if l.startswith("3d")][0]
+    vals = [float(v) for v in line.split("AP:")[1].split(",")]
+    assert vals[1] > 90.0, result

@@ -63,6 +63,8 @@ def _load():
     lib.rbbox_iou.argtypes = [
         f32, i64, f32, i64, ctypes.c_float, ctypes.c_int, f32,
     ]
+    lib.iou2d.restype = None
+    lib.iou2d.argtypes = [f32, i64, f32, i64, ctypes.c_float, f32]
     lib.nms_cpu.restype = ctypes.c_int
     lib.nms_cpu.argtypes = [f32, i64, ctypes.c_float, u8]
     lib.rotate_nms_cpu.restype = ctypes.c_int
@@ -237,6 +239,24 @@ def rbbox_iou(
             _ptr(boxes, ctypes.c_float), n,
             _ptr(qboxes, ctypes.c_float), k,
             standup_thresh, criterion, _ptr(out, ctypes.c_float),
+        )
+    return out
+
+
+def iou2d(
+    boxes: np.ndarray, qboxes: np.ndarray, eps: float = 0.0
+) -> np.ndarray:
+    """Axis-aligned [N,4] x [K,4] IoU matrix (reference numba iou_jit)."""
+    lib = _load()
+    boxes = _f32(boxes)
+    qboxes = _f32(qboxes)
+    n, k = len(boxes), len(qboxes)
+    out = np.empty((n, k), np.float32)
+    if n and k:
+        lib.iou2d(
+            _ptr(boxes, ctypes.c_float), n,
+            _ptr(qboxes, ctypes.c_float), k,
+            eps, _ptr(out, ctypes.c_float),
         )
     return out
 

@@ -290,6 +290,41 @@ void rbbox_iou(
   }
 }
 
+// ------------------------------------------------------------------- iou2d
+// Axis-aligned IoU matrix (reference numba iou_jit, box_np_ops.py:653-682).
+// boxes: [N, 4], qboxes: [K, 4] (x1,y1,x2,y2). out: [N, K] float32,
+// caller need not pre-zero. eps matches the numpy twin's +eps semantics.
+void iou2d(const float* boxes, int64_t n, const float* qboxes, int64_t k,
+           float eps, float* out) {
+  std::vector<double> qarea(k);
+  for (int64_t j = 0; j < k; ++j) {
+    qarea[j] = ((double)qboxes[j * 4 + 2] - qboxes[j * 4] + eps) *
+               ((double)qboxes[j * 4 + 3] - qboxes[j * 4 + 1] + eps);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const double bx1 = boxes[i * 4], by1 = boxes[i * 4 + 1];
+    const double bx2 = boxes[i * 4 + 2], by2 = boxes[i * 4 + 3];
+    const double barea = (bx2 - bx1 + eps) * (by2 - by1 + eps);
+    float* row = out + i * k;
+    for (int64_t j = 0; j < k; ++j) {
+      const double iw =
+          std::min(bx2, (double)qboxes[j * 4 + 2]) -
+          std::max(bx1, (double)qboxes[j * 4]) + eps;
+      if (iw > 0) {
+        const double ih =
+            std::min(by2, (double)qboxes[j * 4 + 3]) -
+            std::max(by1, (double)qboxes[j * 4 + 1]) + eps;
+        if (ih > 0) {
+          const double inter = iw * ih;
+          row[j] = (float)(inter / (barea + qarea[j] - inter));
+          continue;
+        }
+      }
+      row[j] = 0.f;
+    }
+  }
+}
+
 // ----------------------------------------------------------------- nms_cpu
 // Greedy standup NMS. boxes: [K, 4] (x1,y1,x2,y2) score-sorted desc.
 // keep: [K] uint8 out. Returns number kept.

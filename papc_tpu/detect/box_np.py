@@ -266,11 +266,30 @@ def create_anchors_3d_range(
 # --------------------------------------------------------------------- iou
 
 def iou_2d(boxes: np.ndarray, query_boxes: np.ndarray, eps=0.0) -> np.ndarray:
-    """Axis-aligned [N,4] x [K,4] IoU matrix (vectorized twin of the
-    reference's numba ``iou_jit`` :653-682)."""
+    """Axis-aligned [N,4] x [K,4] IoU matrix (twin of the reference's
+    numba ``iou_jit`` :653-682). The native path matters: this runs per
+    SAMPLE over the full anchor set in target assignment (~100k x n_gt),
+    where the numpy broadcast version costs ~14 ms/frame."""
     N, K = len(boxes), len(query_boxes)
     if N == 0 or K == 0:
         return np.zeros((N, K), dtype=boxes.dtype if N else np.float32)
+    if boxes.dtype == np.float32:
+        # the contract returns boxes.dtype, so f32 math loses nothing
+        try:
+            from papc_tpu import cc
+
+            if cc.available():
+                return cc.iou2d(
+                    boxes, np.asarray(query_boxes, np.float32), eps
+                )
+        except Exception:
+            pass
+    return _iou_2d_np(boxes, query_boxes, eps)
+
+
+def _iou_2d_np(boxes, query_boxes, eps=0.0):
+    """Pure-numpy fallback (also the cc parity oracle)."""
+    N, K = len(boxes), len(query_boxes)
     b = boxes[:, None, :]
     q = query_boxes[None, :, :]
     iw = np.minimum(b[..., 2], q[..., 2]) - np.maximum(b[..., 0], q[..., 0]) + eps
@@ -464,11 +483,12 @@ def sparse_sum_for_anchors_mask(coors: np.ndarray, shape) -> np.ndarray:
     return ret
 
 
-def fused_get_anchors_area(
-    dense_map: np.ndarray, anchors_bv: np.ndarray, stride, offset, grid_size
+def precompute_anchor_area_indices(
+    anchors_bv: np.ndarray, stride, offset, grid_size
 ) -> np.ndarray:
-    """Summed-area-table lookup of point counts under each BEV anchor
-    (reference :781-805). ``dense_map`` must already be 2-d cumsum'd."""
+    """Flat SAT corner indices [4, N] for :func:`fused_get_anchors_area`.
+    Anchor grids are static per experiment, so this runs once (the
+    per-sample float div + clip over ~100k anchors was ~20% of prep)."""
     x0 = np.floor((anchors_bv[:, 0] - offset[0]) / stride[0]).astype(np.int64)
     y0 = np.floor((anchors_bv[:, 1] - offset[1]) / stride[1]).astype(np.int64)
     x1 = np.floor((anchors_bv[:, 2] - offset[0]) / stride[0]).astype(np.int64)
@@ -477,11 +497,31 @@ def fused_get_anchors_area(
     y0 = np.clip(y0, 0, grid_size[1] - 1)
     x1 = np.clip(x1, 0, grid_size[0] - 1)
     y1 = np.clip(y1, 0, grid_size[1] - 1)
-    ID = dense_map[y1, x1]
-    IA = dense_map[y0, x0]
-    IB = dense_map[y1, x0]
-    IC = dense_map[y0, x1]
-    return ID - IB - IC + IA
+    nx = int(grid_size[0])
+    return np.stack(
+        [y1 * nx + x1, y1 * nx + x0, y0 * nx + x1, y0 * nx + x0]
+    )
+
+
+def fused_get_anchors_area(
+    dense_map: np.ndarray,
+    anchors_bv: np.ndarray,
+    stride,
+    offset,
+    grid_size,
+    indices: np.ndarray | None = None,
+) -> np.ndarray:
+    """Summed-area-table lookup of point counts under each BEV anchor
+    (reference :781-805). ``dense_map`` must already be 2-d cumsum'd.
+    Pass precomputed ``indices`` (:func:`precompute_anchor_area_indices`)
+    to skip the per-anchor grid math for static anchor grids."""
+    if indices is None:
+        indices = precompute_anchor_area_indices(
+            anchors_bv, stride, offset, grid_size
+        )
+    flat = dense_map.ravel()
+    vals = flat[indices]  # [4, N]: ID, IB, IC, IA
+    return vals[0] - vals[1] - vals[2] + vals[3]
 
 
 # --------------------------------------------------- camera↔lidar, frustum

@@ -248,21 +248,28 @@ def noise_per_object_(
         bev[:, :2], bev[:, 2:4], bev[:, 4]
     )
 
-    # candidate corners per (box, trial): [N, T, 4, 2]. Depends only on
-    # each box's ORIGINAL pose, so precompute for all boxes at once.
+    # candidate corners per (box, trial) depend only on each box's
+    # ORIGINAL pose — computed lazily per trial CHUNK (the accepted trial
+    # is almost always among the first few, so building all num_try
+    # candidate corner sets up front wastes ~10x einsum work)
     if not enable_grot:
         base = box_corners - bev[:, None, :2]  # [N, 4, 2]
-        cand_all = _rotate_corners_batch(
-            np.broadcast_to(
-                base[:, None], (num_boxes, num_try, 4, 2)
-            ),
-            rot_noises,
-        )
-        cand_all = cand_all + (
-            bev[:, None, :2] + loc_noises[..., :2]
-        )[:, :, None, :]
         dst_delta_pos = None
         dst_delta_rot = None
+
+        def cand_chunk(sel, lo, hi):
+            """Candidate corners [n_sel, hi-lo, 4, 2] for box rows ``sel``."""
+            n = hi - lo
+            b = base[sel]  # [n_sel, 4, 2]
+            c = _rotate_corners_batch(
+                np.broadcast_to(
+                    b[:, None], (b.shape[0], n, 4, 2)
+                ),
+                rot_noises[sel, lo:hi],
+            )
+            return c + (
+                bev[sel, None, :2] + loc_noises[sel, lo:hi, :2]
+            )[:, :, None, :]
     else:
         radius = np.sqrt(bev[:, 0] ** 2 + bev[:, 1] ** 2)
         cur_grot = np.arctan2(bev[:, 0], bev[:, 1])
@@ -274,47 +281,72 @@ def noise_per_object_(
         )  # [N, T, 2]
         yaw_new = bev[:, None, 4] + (dst_grot - cur_grot[:, None])
         base = box_np.corners_nd(bev[:, 2:4])  # [N, 4, 2] centered
-        cand_all = _rotate_corners_batch(
-            np.broadcast_to(
-                base[:, None], (num_boxes, num_try, 4, 2)
-            ),
-            yaw_new,
-        )
-        cand_all = _rotate_corners_batch(cand_all, rot_noises)
-        cand_all = cand_all + (
-            dst_pos + loc_noises[..., :2]
-        )[:, :, None, :]
         dst_delta_pos = dst_pos - bev[:, None, :2]  # [N, T, 2]
         dst_delta_rot = dst_grot - cur_grot[:, None]  # [N, T]
+
+        def cand_chunk(sel, lo, hi):
+            n = hi - lo
+            b = base[sel]
+            c = _rotate_corners_batch(
+                np.broadcast_to(
+                    b[:, None], (b.shape[0], n, 4, 2)
+                ),
+                yaw_new[sel, lo:hi],
+            )
+            c = _rotate_corners_batch(c, rot_noises[sel, lo:hi])
+            return c + (
+                dst_pos[sel, lo:hi] + loc_noises[sel, lo:hi, :2]
+            )[:, :, None, :]
+
+    # trials are tested in escalating chunks with early exit: the
+    # accepted trial is almost always among the first few (sparse
+    # scenes), so testing all num_try up front wastes ~30x collision work
+    chunks = [8, 24, num_try]
 
     selected = -np.ones(num_boxes, np.int64)
     if group_nums is None:
         for i in range(num_boxes):
             if not valid_mask[i]:
                 continue
-            coll = box_collision_test(cand_all[i], box_corners)  # [T, N]
-            coll[:, i] = False
-            hit = np.flatnonzero(~coll.any(axis=1))
-            if len(hit):
-                j = int(hit[0])
-                selected[i] = j
-                box_corners[i] = cand_all[i, j]
+            lo = 0
+            for hi in chunks:
+                hi = min(hi, num_try)
+                if lo >= hi:
+                    continue
+                cand = cand_chunk([i], lo, hi)[0]  # [chunk, 4, 2]
+                coll = box_collision_test(cand, box_corners)
+                coll[:, i] = False
+                hit = np.flatnonzero(~coll.any(axis=1))
+                if len(hit):
+                    j = lo + int(hit[0])
+                    selected[i] = j
+                    box_corners[i] = cand[int(hit[0])]
+                    break
+                lo = hi
     else:
         # joint trial per group: every member must be collision-free
         idx = 0
         for num in group_nums:
-            members = slice(idx, idx + num)
+            members = np.arange(idx, idx + num)
             if valid_mask[idx]:
-                cand = cand_all[members]  # [num, T, 4, 2]
-                coll = box_collision_test(
-                    cand.reshape(-1, 4, 2), box_corners
-                ).reshape(num, num_try, num_boxes)
-                coll[:, :, members] = False
-                hit = np.flatnonzero(~coll.any(axis=(0, 2)))
-                if len(hit):
-                    j = int(hit[0])
-                    selected[members] = j
-                    box_corners[members] = cand[:, j]
+                lo = 0
+                for hi in chunks:
+                    hi = min(hi, num_try)
+                    if lo >= hi:
+                        continue
+                    cand = cand_chunk(members, lo, hi)  # [num, c, 4, 2]
+                    coll = box_collision_test(
+                        np.ascontiguousarray(cand).reshape(-1, 4, 2),
+                        box_corners,
+                    ).reshape(num, hi - lo, num_boxes)
+                    coll[:, :, members] = False
+                    hit = np.flatnonzero(~coll.any(axis=(0, 2)))
+                    if len(hit):
+                        j = lo + int(hit[0])
+                        selected[members] = j
+                        box_corners[members] = cand[:, int(hit[0])]
+                        break
+                    lo = hi
             idx += num
 
     loc_t = np.zeros((num_boxes, 3), gt_boxes.dtype)

@@ -282,8 +282,18 @@ def prep_pointcloud(
             coordinates[:num_voxels], tuple(grid_size[::-1][1:])
         )
         dense_map = dense_map.cumsum(0).cumsum(1)
+        area_idx = None
+        if anchor_cache is not None:
+            # anchor grid is static: compute the SAT corner indices once
+            area_idx = anchor_cache.get("area_indices")
+            if area_idx is None:
+                area_idx = box_np.precompute_anchor_area_indices(
+                    anchors_bv, voxel_size, pc_range, grid_size
+                )
+                anchor_cache["area_indices"] = area_idx
         anchors_area = box_np.fused_get_anchors_area(
-            dense_map, anchors_bv, voxel_size, pc_range, grid_size
+            dense_map, anchors_bv, voxel_size, pc_range, grid_size,
+            indices=area_idx,
         )
         anchors_mask = anchors_area > anchor_area_threshold
         example["anchors_mask"] = anchors_mask

@@ -157,3 +157,23 @@ class TestKDBuild:
         assert len(splits) == 6
         # leaf ordering permutes labels consistently
         assert sorted(leaf_labels.tolist()) == sorted(labels.tolist())
+
+
+def test_iou2d_matches_numpy(rng):
+    from papc_tpu.detect.box_np import _iou_2d_np
+
+    for eps in (0.0, 1.0):
+        for _ in range(5):
+            n, k = rng.randint(1, 60), rng.randint(1, 8)
+            x1 = rng.uniform(0, 50, (n, 1)); y1 = rng.uniform(0, 50, (n, 1))
+            boxes = np.concatenate(
+                [x1, y1, x1 + rng.uniform(0.1, 10, (n, 1)),
+                 y1 + rng.uniform(0.1, 10, (n, 1))], 1).astype(np.float32)
+            x1 = rng.uniform(0, 50, (k, 1)); y1 = rng.uniform(0, 50, (k, 1))
+            q = np.concatenate(
+                [x1, y1, x1 + rng.uniform(0.1, 10, (k, 1)),
+                 y1 + rng.uniform(0.1, 10, (k, 1))], 1).astype(np.float32)
+            np.testing.assert_allclose(
+                cc.iou2d(boxes, q, eps), _iou_2d_np(boxes, q, eps),
+                rtol=1e-5, atol=1e-6,
+            )

@@ -94,3 +94,100 @@ def test_pointnet2_ssg_reaches_90pct():
         state, loss, _ = train_step(state, batch, jax.random.PRNGKey(i))
     _, acc = eval_step(state, batch)
     assert float(acc) >= 0.9, f"train accuracy {float(acc):.3f} < 0.9"
+
+
+def _mini_train(spec, batch, steps, lr=1e-3, num_parts=8):
+    import jax
+
+    from papc_tpu.train.trainer import create_train_state, make_train_step
+
+    state = create_train_state(spec, jax.random.PRNGKey(0), batch, lr, 0.0)
+    train_step, eval_step = make_train_step(spec, num_parts=num_parts)
+    for i in range(steps):
+        state, loss, _ = train_step(state, batch, jax.random.PRNGKey(i))
+    return eval_step(state, batch)
+
+
+def test_voxnet_reaches_90pct(rng):
+    """VoxNet learns separable occupancy grids (class k fills cube k)."""
+    import jax.numpy as jnp
+
+    from papc_tpu.models import init_model
+
+    spec = init_model("voxnet", "clas", NUM_CLASSES)
+    B = 32
+    labels = rng.randint(0, NUM_CLASSES, size=(B,))
+    vox = np.zeros((B, 32, 32, 32, 1), np.float32)
+    for b, k in enumerate(labels):
+        x = 2 + 7 * k
+        vox[b, x : x + 6, 4:28, 4:28] = (
+            rng.rand(6, 24, 24)[..., None] > 0.5
+        )
+    batch = {
+        "voxels": jnp.asarray(vox),
+        "label": jnp.asarray(labels),
+        "mask": jnp.ones((B,), bool),
+    }
+    _, acc = _mini_train(spec, batch, steps=60)
+    assert float(acc) >= 0.9, float(acc)
+
+
+def test_kdnet_reaches_90pct(rng):
+    """KDNet learns through real kd-tree split-dim routing."""
+    import jax.numpy as jnp
+
+    from papc_tpu.data.kd import build_kd_tree
+    from papc_tpu.models import init_model
+
+    N = 128
+    spec = init_model("kdnet", "clas", NUM_CLASSES, max_point=N)
+    B = 32
+    labels = rng.randint(0, NUM_CLASSES, size=(B,))
+    pts_list, split_list = [], []
+    for k in labels:
+        pts = rng.randn(N, 3) * 0.15
+        pts[:, 0] += k  # separable along x
+        leaf, splits, _ = build_kd_tree(pts.astype(np.float32))
+        pts_list.append(leaf)
+        split_list.append(splits)
+    depth = int(np.log2(N))
+    batch = {
+        "points": jnp.asarray(np.stack(pts_list), jnp.float32),
+        "split_dims": tuple(
+            jnp.asarray(np.stack([s[l] for s in split_list]))
+            for l in range(depth)
+        ),
+        "label": jnp.asarray(labels),
+        "mask": jnp.ones((B,), bool),
+    }
+    _, acc = _mini_train(spec, batch, steps=80)
+    assert float(acc) >= 0.9, float(acc)
+
+
+def test_pointnet_basic_seg_miou(rng):
+    """Per-point segmentation learns position-determined labels to
+    mIoU >= 0.8 (mask-aware mean-IoU metric)."""
+    import jax.numpy as jnp
+
+    from papc_tpu.models import init_model
+
+    N, PARTS = 64, 4
+    spec = init_model(
+        "pointnet_basic", "seg", NUM_CLASSES, num_parts=PARTS, max_point=N
+    )
+    B = 32
+    labels = rng.randint(0, NUM_CLASSES, size=(B,))
+    pts = rng.randn(B, N, 3).astype(np.float32) * 0.3
+    # part = quadrant in (x, y): purely position-determined
+    pid = (
+        (pts[..., 0] > 0).astype(np.int32)
+        + 2 * (pts[..., 1] > 0).astype(np.int32)
+    )
+    batch = {
+        "points": jnp.asarray(pts),
+        "label": jnp.asarray(labels),
+        "pid": jnp.asarray(pid),
+        "mask": jnp.ones((B,), bool),
+    }
+    _, miou = _mini_train(spec, batch, steps=120, num_parts=PARTS)
+    assert float(miou) >= 0.8, float(miou)

@@ -259,3 +259,24 @@ def test_coco_eval_perfect_predictions(rng):
     line = [l for l in result.splitlines() if l.startswith("3d")][0]
     vals = [float(v) for v in line.split("AP:")[1].split(",")]
     assert vals[1] > 90.0, result
+
+
+def test_detection_resume_from_checkpoint(tiny_cfg, tmp_path):
+    """Stack B resume contract (reference train.py:68-89,132-136): a
+    second train() against the same model_dir restores params/opt/step
+    from checkpoints.json and continues to the new step target."""
+    from papc_tpu.detect.train import train
+
+    mdir = str(tmp_path / "model")
+    state1, _ = train(
+        cfg_file=tiny_cfg, model_dir=mdir, max_steps=4,
+        display_step=10**6, eval_on_finish=False, log=lambda s: None,
+    )
+    assert int(state1.step) == 4
+    logs = []
+    state2, _ = train(
+        cfg_file=tiny_cfg, model_dir=mdir, max_steps=8,
+        display_step=10**6, eval_on_finish=False, log=logs.append,
+    )
+    assert int(state2.step) == 8
+    assert any("resumed from step 4" in str(line) for line in logs)

@@ -282,6 +282,43 @@ def bench_fps_large_n():
     return out
 
 
+def bench_ball_query_large_n():
+    """Ball query at large N (B=4, N=16384, S=2048, nsample=32): the XLA
+    [B,S,N]-matrix + top_k path vs the VMEM-streaming Pallas kernel
+    (papc_tpu/ops/pallas/ball_query.py)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.ops import query_ball_point
+
+    rs = np.random.RandomState(0)
+    xyz = jnp.asarray(rs.randn(4, 16384, 3), jnp.float32)
+    q = xyz[:, :2048]
+    out = {}
+    for backend in ("xla", "pallas"):
+        base = functools.partial(
+            query_ball_point, 0.4, 32, backend=backend
+        )
+
+        @jax.jit
+        def chained(x, qq):
+            idx = base(x, qq)
+            return idx, x + (idx.sum() * 0).astype(x.dtype)
+
+        idx, x = chained(xyz, q)
+        np.asarray(idx)
+        reps = 5
+        t0 = time.perf_counter()
+        x = xyz
+        for _ in range(reps):
+            idx, x = chained(x, q)
+        np.asarray(idx)
+        out[backend] = (time.perf_counter() - t0) / reps
+    return out
+
+
 def main():
     import jax
 
@@ -299,6 +336,7 @@ def main():
     pillarize_ms = pillarize_s * 1e3
     device_pillarize_ms = bench_device_pillarize() * 1e3
     fps_large = bench_fps_large_n()
+    bq_large = bench_ball_query_large_n()
     print(
         json.dumps(
             {
@@ -332,6 +370,12 @@ def main():
                     "fps_16k_xla_ms": round(fps_large["xla"] * 1e3, 2),
                     "fps_16k_pallas_ms": round(
                         fps_large["pallas"] * 1e3, 2
+                    ),
+                    "ball_query_16k_xla_ms": round(
+                        bq_large["xla"] * 1e3, 2
+                    ),
+                    "ball_query_16k_pallas_ms": round(
+                        bq_large["pallas"] * 1e3, 2
                     ),
                     "device": str(jax.devices()[0]),
                     # honesty: vs_baseline divides by a DOCUMENTED

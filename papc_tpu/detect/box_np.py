@@ -664,3 +664,32 @@ def change_box3d_center_(box3d, src, dst):
     src = np.asarray(src, box3d.dtype)
     box3d[..., :3] += box3d[..., 3:6] * (dst - src)
     return box3d
+
+
+def assign_label_to_voxel(gt_boxes, coors, voxel_size, coors_range):
+    """0/1 label per voxel: is its center inside any gt box (lidar frame)?
+
+    Each box is grown by one voxel before the center-in-polygon test —
+    reference ``box_np_ops.py:845-862``, including its asymmetry: the
+    xy growth all lands on the low side (the center shift and the dim
+    growth both use ``origin=0.5``), while z grows half a voxel each way
+    (``origin=0``). ``coors`` are ``[V, 3]`` integer (z, y, x) voxel
+    coordinates.
+    """
+    voxel_size = np.asarray(voxel_size, dtype=gt_boxes.dtype)
+    coors_range = np.asarray(coors_range, dtype=gt_boxes.dtype)
+    centers = (
+        coors[:, ::-1] * voxel_size
+        + coors_range[:3]
+        + voxel_size * 0.5
+    )
+    corners = center_to_corner_box3d(
+        gt_boxes[:, :3] - voxel_size * 0.5,
+        gt_boxes[:, 3:6] + voxel_size,
+        gt_boxes[:, 6],
+        origin=(0.5, 0.5, 0.0),
+        axis=2,
+    )
+    surfaces = corner_to_surfaces_3d(corners)
+    inside = points_in_convex_polygon_3d(centers, surfaces)
+    return np.any(inside, axis=1).astype(np.int64)

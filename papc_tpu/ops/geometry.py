@@ -26,9 +26,19 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     Reference parity: ``pointnet2_basic_layers.py:26-40`` (same
     ``-2*src@dstT + |src|^2 + |dst|^2`` expansion; the cross term is the only
     O(N*M*C) work and it is one MXU matmul).
+
+    The matmul runs at ``Precision.HIGHEST``: the TPU default truncates
+    operands to bf16-like precision, which at cloud scale perturbs
+    pairwise distances by up to ~0.14 — enough to flip ball-query
+    membership near the radius (the reference computes this in full f32
+    on CUDA). K=3 makes the extra passes free.
     """
     cross = jnp.einsum(
-        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     s2 = jnp.sum(src * src, axis=-1)[:, :, None]
     d2 = jnp.sum(dst * dst, axis=-1)[:, None, :]

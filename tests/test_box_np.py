@@ -252,3 +252,41 @@ def test_rbbox2d_to_near_bbox():
     out = B.rbbox2d_to_near_bbox(rb)
     np.testing.assert_allclose(out[0], [-1, -2, 1, 2])
     np.testing.assert_allclose(out[1], [-2, -1, 2, 1])
+
+
+def test_assign_label_to_voxel():
+    """Axis-aligned case with an analytic oracle: a voxel is labeled 1
+    iff its center is within box_extent/2 + voxel/2 of the box center
+    per axis (reference dilates each box by one voxel)."""
+    voxel_size = np.array([0.5, 0.5, 1.0])
+    coors_range = [0, 0, 0, 8, 8, 4]
+    # axis-aligned box: center xy (2, 2), z-bottom 0.9, dims 2.1^2 x 2, yaw 0
+    dims = np.array([2.1, 2.1, 2.0])
+    gt = np.array([[2.0, 2.0, 0.9, *dims, 0.0]])
+    zz, yy, xx = np.meshgrid(
+        np.arange(4), np.arange(16), np.arange(16), indexing="ij"
+    )
+    coors = np.stack([zz, yy, xx], -1).reshape(-1, 3).astype(np.int64)
+    out = B.assign_label_to_voxel(gt, coors, voxel_size, coors_range)
+
+    centers = (
+        coors[:, ::-1] * voxel_size
+        + np.asarray(coors_range[:3])
+        + voxel_size * 0.5
+    )
+    # reference-faithful growth: xy grows one voxel on the LOW side only
+    # (center -voxel/2 with origin .5); z grows voxel/2 both ways
+    lo = np.array(
+        [
+            2.0 - dims[0] / 2 - voxel_size[0],
+            2.0 - dims[1] / 2 - voxel_size[1],
+            0.9 - voxel_size[2] * 0.5,
+        ]
+    )
+    hi = np.array(
+        [2.0 + dims[0] / 2, 2.0 + dims[1] / 2, 0.9 + dims[2] + voxel_size[2] * 0.5]
+    )
+    expect = np.all((centers > lo) & (centers < hi), axis=1)
+    assert out.dtype == np.int64
+    assert expect.sum() > 0
+    np.testing.assert_array_equal(out.astype(bool), expect)

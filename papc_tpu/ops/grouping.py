@@ -120,6 +120,12 @@ def knn(k: int, xyz: jax.Array, new_xyz: jax.Array):
     Returns ``(dists, idx)``: ``[B, S, k]`` squared distances (ascending) and
     int32 indices. Used by feature propagation (3-NN interpolation,
     reference ``pointnet2_basic_layers.py:305-309``).
+
+    No Pallas variant by design: in every FP call the CANDIDATE set is
+    the coarse level (128–512 points), so the ``[B, S, N_cand]`` matrix
+    stays small even when the query side is the full cloud — the HBM
+    blowup that justifies the ball-query kernel (N candidates) never
+    occurs here.
     """
     sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
     neg_d, idx = lax.top_k(-sqrdists, k)

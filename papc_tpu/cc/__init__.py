@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -105,8 +106,12 @@ def _ptr(a, ctype):
 # per-frame cost is proportional to the points processed, not to the
 # [max_voxels, max_points, D] output capacity (the reference re-JITs and
 # re-allocates per call; a fresh 19 MB np.zeros alone costs ~1.3 ms at
-# KITTI pillar scale).
+# KITTI pillar scale). The lock serializes access to the shared epoch
+# tables: the train prefetch thread and the main-thread eval prep hit the
+# same grid's scratch concurrently (STEPS_PER_EVAL with NUM_WORKERS=0),
+# and an interleaved epoch bump would corrupt the first-come table.
 _vox_cache: dict = {}
+_vox_lock = threading.Lock()
 
 
 def points_to_voxel(
@@ -135,39 +140,40 @@ def points_to_voxel(
     ).astype(np.int64)
     N, D = points.shape
     key = (grid.tobytes(), int(max_points), int(max_voxels), int(D))
-    st = _vox_cache.get(key)
-    if st is None:
-        st = {
-            "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
-            "scratch_idx": np.empty(int(grid.prod()), np.int32),
-            "voxels": np.zeros((max_voxels, max_points, D), np.float32),
-            "coords": np.zeros((max_voxels, 3), np.int32),
-            "nppv": np.zeros((max_voxels,), np.int32),
-            "lin": np.empty((N,), np.int64),
-            "epoch": 0,
-            "prev_k": 0,
-        }
-        _vox_cache[key] = st
-    if len(st["lin"]) < N:
-        st["lin"] = np.empty((N,), np.int64)
-    st["epoch"] += 1
-    if st["epoch"] >= np.iinfo(np.int32).max:
-        st["scratch_epoch"].fill(0)
-        st["epoch"] = 1
-    k = lib.points_to_voxel_epoch(
-        _ptr(points, ctypes.c_float), N, D,
-        _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
-        _ptr(st["scratch_epoch"], ctypes.c_int32),
-        _ptr(st["scratch_idx"], ctypes.c_int32),
-        st["epoch"],
-        _ptr(st["lin"], ctypes.c_int64),
-        _ptr(st["voxels"], ctypes.c_float),
-        _ptr(st["coords"], ctypes.c_int32),
-        _ptr(st["nppv"], ctypes.c_int32),
-        max_points, max_voxels, st["prev_k"],
-    )
-    st["prev_k"] = k
-    return st["voxels"][:k], st["coords"][:k], st["nppv"][:k]
+    with _vox_lock:
+        st = _vox_cache.get(key)
+        if st is None:
+            st = {
+                "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
+                "scratch_idx": np.empty(int(grid.prod()), np.int32),
+                "voxels": np.zeros((max_voxels, max_points, D), np.float32),
+                "coords": np.zeros((max_voxels, 3), np.int32),
+                "nppv": np.zeros((max_voxels,), np.int32),
+                "lin": np.empty((N,), np.int64),
+                "epoch": 0,
+                "prev_k": 0,
+            }
+            _vox_cache[key] = st
+        if len(st["lin"]) < N:
+            st["lin"] = np.empty((N,), np.int64)
+        st["epoch"] += 1
+        if st["epoch"] >= np.iinfo(np.int32).max:
+            st["scratch_epoch"].fill(0)
+            st["epoch"] = 1
+        k = lib.points_to_voxel_epoch(
+            _ptr(points, ctypes.c_float), N, D,
+            _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
+            _ptr(st["scratch_epoch"], ctypes.c_int32),
+            _ptr(st["scratch_idx"], ctypes.c_int32),
+            st["epoch"],
+            _ptr(st["lin"], ctypes.c_int64),
+            _ptr(st["voxels"], ctypes.c_float),
+            _ptr(st["coords"], ctypes.c_int32),
+            _ptr(st["nppv"], ctypes.c_int32),
+            max_points, max_voxels, st["prev_k"],
+        )
+        st["prev_k"] = k
+        return st["voxels"][:k], st["coords"][:k], st["nppv"][:k]
 
 
 def points_to_voxel_padded(
@@ -192,36 +198,37 @@ def points_to_voxel_padded(
     ).astype(np.int64)
     N, D = points.shape
     key = ("scratch", grid.tobytes())
-    st = _vox_cache.get(key)
-    if st is None:
-        st = {
-            "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
-            "scratch_idx": np.empty(int(grid.prod()), np.int32),
-            "lin": np.empty((N,), np.int64),
-            "epoch": 0,
-        }
-        _vox_cache[key] = st
-    if len(st["lin"]) < N:
-        st["lin"] = np.empty((N,), np.int64)
-    st["epoch"] += 1
-    if st["epoch"] >= np.iinfo(np.int32).max:
-        st["scratch_epoch"].fill(0)
-        st["epoch"] = 1
     voxels = np.zeros((max_voxels, max_points, D), np.float32)
     coords = np.zeros((max_voxels, 3), np.int32)
     nppv = np.zeros((max_voxels,), np.int32)
-    k = lib.points_to_voxel_epoch(
-        _ptr(points, ctypes.c_float), N, D,
-        _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
-        _ptr(st["scratch_epoch"], ctypes.c_int32),
-        _ptr(st["scratch_idx"], ctypes.c_int32),
-        st["epoch"],
-        _ptr(st["lin"], ctypes.c_int64),
-        _ptr(voxels, ctypes.c_float),
-        _ptr(coords, ctypes.c_int32),
-        _ptr(nppv, ctypes.c_int32),
-        max_points, max_voxels, 0,
-    )
+    with _vox_lock:
+        st = _vox_cache.get(key)
+        if st is None:
+            st = {
+                "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
+                "scratch_idx": np.empty(int(grid.prod()), np.int32),
+                "lin": np.empty((N,), np.int64),
+                "epoch": 0,
+            }
+            _vox_cache[key] = st
+        if len(st["lin"]) < N:
+            st["lin"] = np.empty((N,), np.int64)
+        st["epoch"] += 1
+        if st["epoch"] >= np.iinfo(np.int32).max:
+            st["scratch_epoch"].fill(0)
+            st["epoch"] = 1
+        k = lib.points_to_voxel_epoch(
+            _ptr(points, ctypes.c_float), N, D,
+            _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
+            _ptr(st["scratch_epoch"], ctypes.c_int32),
+            _ptr(st["scratch_idx"], ctypes.c_int32),
+            st["epoch"],
+            _ptr(st["lin"], ctypes.c_int64),
+            _ptr(voxels, ctypes.c_float),
+            _ptr(coords, ctypes.c_int32),
+            _ptr(nppv, ctypes.c_int32),
+            max_points, max_voxels, 0,
+        )
     return voxels, coords, nppv, k
 
 

@@ -95,18 +95,16 @@ def _box_collision_test_np(
 
 # --------------------------------------------------- per-object noise aug
 
-def _rotate_corners(corners, angle):
-    c, s = np.cos(angle), np.sin(angle)
-    rot = np.array([[c, -s], [s, c]], corners.dtype)
-    return corners @ rot
-
-
 def _rotate_corners_batch(corners, angles):
-    """corners [..., 4, 2] rotated by angles [...] (corners @ R)."""
+    """corners [..., 4, 2] rotated by angles [...] — SAME convention as
+    ``box_np.rotation_2d`` (``p @ [[c,-s],[s,c]]``), so composing with a
+    box's base corners equals corners at ``yaw + angle``. (A transposed
+    matrix here once rotated every collision candidate by ``-angle``
+    while the applied transform used ``+angle`` — label-corrupting.)"""
     c, s = np.cos(angles), np.sin(angles)
     rot = np.stack(
-        [np.stack([c, s], -1), np.stack([-s, c], -1)], -2
-    )  # [..., 2, 2] equal to [[c,-s],[s,c]] applied as corners @ R
+        [np.stack([c, -s], -1), np.stack([s, c], -1)], -2
+    )  # [..., 2, 2]
     return np.einsum("...ij,...jk->...ik", corners, rot)
 
 

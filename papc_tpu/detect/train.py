@@ -494,7 +494,18 @@ def train(
                 if step >= total_steps:
                     break
     except Exception:
-        _save(state, model_dir, step)
+        # Save-on-crash (reference train.py:325-327). The train step
+        # donates the state's buffers, so if the crash happened INSIDE a
+        # step the current `state` may reference deleted arrays — fall
+        # back to the last periodic checkpoint already on disk instead of
+        # masking the original exception with a buffer-deleted error.
+        try:
+            _save(state, model_dir, step)
+        except Exception as save_err:  # noqa: BLE001
+            log(
+                "crash-save skipped (state donated to the failing step): "
+                f"{save_err!r}; latest periodic checkpoint stands"
+            )
         raise
     finally:
         if pool is not None:

@@ -34,7 +34,10 @@ from papc_tpu.ops.sampling import farthest_point_sample
 
 
 # measured crossover (see module docstring table): XLA wins at small N,
-# the VMEM-resident Pallas kernel from N >= _PALLAS_MIN_N up
+# the VMEM-resident Pallas kernel from N >= _PALLAS_MIN_N up. This is
+# the BALL-QUERY crossover — measured independently of the FPS one in
+# ops/sampling.py (they agree at 4096 by measurement, not by copy; re-
+# tune each from its own bench table).
 _PALLAS_MIN_N = 4096
 
 

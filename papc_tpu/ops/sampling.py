@@ -50,16 +50,19 @@ def farthest_point_sample(
     """
     B, N, _ = xyz.shape
     if backend is None:
-        use_pallas = (
-            N >= _PALLAS_MIN_N
-            and key is None  # pallas path takes a fixed start index
-            and jax.default_backend() == "tpu"
-        )
+        use_pallas = N >= _PALLAS_MIN_N and jax.default_backend() == "tpu"
     else:
         use_pallas = backend == "pallas"
     if use_pallas:
         from papc_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
+        # same start-index semantics as the XLA path below: explicit
+        # start_idx wins, then a random per-item start from `key`,
+        # else deterministic 0
+        if start_idx is None and key is not None:
+            start_idx = jax.random.randint(
+                key, (B,), 0, N, dtype=jnp.int32
+            )
         return farthest_point_sample_pallas(
             xyz, npoint, start_idx=0 if start_idx is None else start_idx
         )

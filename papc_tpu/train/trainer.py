@@ -356,13 +356,17 @@ def train(
             {
                 "epoch": epoch,
                 "epoch_time": epoch_time,
+                # weight by the TRUE local batch count: a process with an
+                # empty shard must contribute weight 0, not a 0-valued
+                # mean with weight 1 (which would bias the cross-host
+                # mean toward zero)
                 "val_loss": all_mean(
                     sum(v_losses) / max(len(v_losses), 1),
-                    weight=max(len(v_losses), 1),
+                    weight=len(v_losses),
                 ),
                 "val_metric": all_mean(
                     sum(v_metrics) / max(len(v_metrics), 1),
-                    weight=max(len(v_metrics), 1),
+                    weight=len(v_metrics),
                 ),
             }
         )

@@ -35,6 +35,64 @@ class TestVoxelize:
         np.testing.assert_array_equal(n, [3])
         np.testing.assert_allclose(v[0, :, 3], [0, 1, 2])
 
+    def test_repeated_calls_match_oracle(self, rng):
+        """The cached path reuses epoch-tagged scratch AND the write-set
+        cleanup of the previous call's voxel slots; a long sequence of
+        same-key calls with varying point sets (shrinking voxel counts
+        included) must stay bit-equal to the stateless numpy oracle."""
+        vsize = [0.5, 0.5, 1.0]
+        prange = [0, 0, 0, 4, 4, 2]
+        for n in (400, 50, 7, 300, 1, 120):
+            pts = rng.uniform(0, 4, (n, 4)).astype(np.float32)
+            pts[:, 2] /= 2
+            cv, ccoords, cn = cc.points_to_voxel(pts, vsize, prange, 8, 200)
+            nv, ncoords, nn = np_points_to_voxel(pts, vsize, prange, 8, 200)
+            np.testing.assert_array_equal(ccoords, ncoords)
+            np.testing.assert_array_equal(cn, nn)
+            # the all-zero padded-slot invariant must be restored too
+            np.testing.assert_allclose(cv, nv, atol=1e-6)
+
+    def test_padded_repeated_and_threaded(self, rng):
+        """points_to_voxel_padded shares only scratch tables; concurrent
+        callers (train prefetch thread + main-thread eval prep) must not
+        corrupt each other's first-come tables."""
+        import threading
+
+        vsize = [0.5, 0.5, 1.0]
+        prange = [0, 0, 0, 4, 4, 2]
+        frames = [
+            rng.uniform(0, 4, (rng.randint(5, 400), 4)).astype(np.float32)
+            for _ in range(24)
+        ]
+        for f in frames:
+            f[:, 2] /= 2
+        want = [np_points_to_voxel(f, vsize, prange, 8, 64) for f in frames]
+
+        errors = []
+
+        def worker(sl):
+            try:
+                for i in sl:
+                    v, c, n, k = cc.points_to_voxel_padded(
+                        frames[i], vsize, prange, 8, 64
+                    )
+                    wv, wc, wn = want[i]
+                    np.testing.assert_array_equal(c[:k], wc)
+                    np.testing.assert_array_equal(n[:k], wn)
+                    np.testing.assert_allclose(v[:k], wv, atol=1e-6)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        ts = [
+            threading.Thread(target=worker, args=(range(j, 24, 3),))
+            for j in range(3)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors
+
 
 class TestRbboxIoU:
     def test_matches_numpy(self, rng):

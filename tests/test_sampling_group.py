@@ -268,3 +268,56 @@ def test_global_rot_sampler_keeps_radius(tmp_path, rng):
             for i in infos
         ]
         assert min(abs(r - rr) for rr in radii) < 1e-5
+
+
+class TestRotationConvention:
+    def test_rotate_corners_batch_matches_rotation_2d(self):
+        """Candidate-corner rotation must use the SAME convention as
+        box_np.rotation_2d, so collision trials test the footprint that
+        the accepted noise actually applies (regression: a transposed
+        matrix rotated candidates by -angle)."""
+        from papc_tpu.detect import box_np
+        from papc_tpu.detect.kitti.augment import _rotate_corners_batch
+
+        rs = np.random.RandomState(0)
+        corners = rs.randn(5, 4, 2)
+        angles = rs.uniform(-np.pi, np.pi, 5)
+        got = _rotate_corners_batch(corners, angles)
+        want = box_np.rotation_2d(corners, angles)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_noised_footprint_matches_applied_yaw(self):
+        """End-to-end: after noise_per_object_ accepts a trial, the box's
+        (center, dims, yaw) footprint must equal the candidate corners it
+        collision-tested. With a single far-from-everything box every
+        trial is accepted, so footprints must match at the FIRST trial's
+        noise draw."""
+        from papc_tpu.detect import box_np
+        from papc_tpu.detect.kitti.augment import noise_per_object_
+
+        box = np.array([[5.0, 3.0, 0.0, 1.6, 3.9, 1.5, 0.7]])
+        boxes = box.copy()
+        rng = np.random.RandomState(3)
+        noise_per_object_(
+            boxes, None, rotation_perturb=0.4, center_noise_std=0.5,
+            num_try=10, rng=rng,
+        )
+        # replay the same draws
+        rng2 = np.random.RandomState(3)
+        loc = rng2.normal(scale=np.array([0.5] * 3), size=[1, 10, 3])
+        rot = rng2.uniform(-0.4, 0.4, size=[1, 10])
+        assert np.allclose(boxes[0, :3], box[0, :3] + loc[0, 0])
+        assert np.allclose(boxes[0, 6], box[0, 6] + rot[0, 0])
+        # the footprint at the applied pose equals what was tested:
+        applied = box_np.center_to_corner_box2d(
+            boxes[:, :2], boxes[:, 3:5], boxes[:, 6]
+        )
+        base = box_np.center_to_corner_box2d(
+            box[:, :2], box[:, 3:5], box[:, 6]
+        ) - box[:, None, :2]
+        from papc_tpu.detect.kitti.augment import _rotate_corners_batch
+
+        cand = _rotate_corners_batch(
+            base[:, None], rot[:, 0:1]
+        )[0, 0] + (box[0, :2] + loc[0, 0, :2])
+        np.testing.assert_allclose(applied[0], cand, atol=1e-9)

@@ -102,7 +102,14 @@ def query_ball_point_tiled(
     ``lax.map`` so peak memory is ``O(B * query_chunk * N)`` — the
     blockwise treatment of the reference's O(S*N) memory pain point
     (SURVEY §5.7; reference ``pointnet2_basic_layers.py:110-117``).
+
+    When the Pallas kernel would be auto-selected it is used directly
+    over the full query set: it streams point tiles through VMEM and
+    never materializes the distance matrix, so the outer chunking would
+    only add ``lax.map`` overhead.
     """
+    if xyz.shape[1] >= _PALLAS_MIN_N and jax.default_backend() == "tpu":
+        return query_ball_point(radius, nsample, xyz, new_xyz)
     B, S, C = new_xyz.shape
     pad = (-S) % query_chunk
     q = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))

@@ -66,6 +66,15 @@ def _load():
     ]
     lib.iou2d.restype = None
     lib.iou2d.argtypes = [f32, i64, f32, i64, ctypes.c_float, f32]
+    lib.iou2d_assign.restype = i64
+    lib.iou2d_assign.argtypes = [
+        f32, i64, f32, i64, ctypes.c_float, i32, f32, f32, i32,
+    ]
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.anchors_area_sat.restype = None
+    lib.anchors_area_sat.argtypes = [
+        i32, i64, i64, i64, i64, p64, i64, f32, f32,
+    ]
     lib.nms_cpu.restype = ctypes.c_int
     lib.nms_cpu.argtypes = [f32, i64, ctypes.c_float, u8]
     lib.rotate_nms_cpu.restype = ctypes.c_int
@@ -265,6 +274,62 @@ def iou2d(
             _ptr(qboxes, ctypes.c_float), k,
             eps, _ptr(out, ctypes.c_float),
         )
+    return out
+
+
+def iou2d_assign(
+    boxes: np.ndarray, qboxes: np.ndarray, eps: float = 0.0
+):
+    """Fused nearest-IoU target-assignment core over [N,4] anchor and
+    [K,4] GT standup boxes. Returns ``(row_argmax, row_max, col_max,
+    force_anchors)`` — per-anchor best-GT index and overlap, per-GT best
+    overlap, and the (unique) anchor indices tying some GT's best
+    overlap (force matches, zero-overlap GTs excluded). Streams the pair
+    space in C++ instead of materializing the IoU matrix for numpy
+    reductions; equivalent to the ``create_target_np`` overlap block.
+    """
+    lib = _load()
+    boxes = _f32(boxes)
+    qboxes = _f32(qboxes)
+    n, k = len(boxes), len(qboxes)
+    row_argmax = np.zeros((n,), np.int32)
+    row_max = np.zeros((n,), np.float32)
+    col_max = np.zeros((k,), np.float32)
+    force = np.empty((n,), np.int32)
+    cnt = 0
+    if n and k:
+        cnt = lib.iou2d_assign(
+            _ptr(boxes, ctypes.c_float), n,
+            _ptr(qboxes, ctypes.c_float), k,
+            eps,
+            _ptr(row_argmax, ctypes.c_int32),
+            _ptr(row_max, ctypes.c_float),
+            _ptr(col_max, ctypes.c_float),
+            _ptr(force, ctypes.c_int32),
+        )
+    return row_argmax, row_max, col_max, force[:cnt]
+
+
+def anchors_area(
+    coors: np.ndarray, ny: int, nx: int, indices: np.ndarray
+) -> np.ndarray:
+    """Voxel counts → summed-area table → per-anchor area, fused
+    (numpy twin: ``box_np.sparse_sum_for_anchors_mask`` + two cumsums +
+    ``fused_get_anchors_area``). ``coors`` is the valid ``[V, 3]`` int32
+    (z, y, x) slice; ``indices`` the static ``[4, N]`` corner table."""
+    lib = _load()
+    coors = np.ascontiguousarray(coors, np.int32)
+    indices = np.ascontiguousarray(indices, np.int64)
+    n = indices.shape[1]
+    out = np.empty((n,), np.float32)
+    sat = np.empty((int(ny) * int(nx),), np.float32)
+    lib.anchors_area_sat(
+        _ptr(coors, ctypes.c_int32), len(coors),
+        coors.shape[1] if coors.ndim == 2 else 3,
+        int(ny), int(nx),
+        _ptr(indices, ctypes.c_int64), n,
+        _ptr(sat, ctypes.c_float), _ptr(out, ctypes.c_float),
+    )
     return out
 
 

@@ -643,4 +643,109 @@ void kitti_eval_fused_statistics(
   }
 }
 
+// ------------------------------------------------------- anchors-area SAT
+// Dense per-BEV-cell voxel counts -> 2-d summed-area table -> 4-corner
+// gather per anchor, fused in one call (the numpy chain costs two full
+// [ny,nx] cumsum allocations plus a [4,N] fancy gather per sample).
+// coors is the [v, c] int32 voxel-coordinate array using columns 1 (y)
+// and 2 (x); indices is the [4, n] flat corner-index table precomputed
+// per anchor grid (box_np.precompute_anchor_area_indices).
+void anchors_area_sat(const int32_t* coors, int64_t v, int64_t c,
+                      int64_t ny, int64_t nx, const int64_t* indices,
+                      int64_t n, float* sat, float* out) {
+  std::fill(sat, sat + ny * nx, 0.f);
+  for (int64_t i = 0; i < v; ++i) {
+    const int64_t y = coors[i * c + 1], x = coors[i * c + 2];
+    sat[y * nx + x] += 1.f;
+  }
+  for (int64_t y = 0; y < ny; ++y) {
+    float run = 0.f;
+    float* row = sat + y * nx;
+    const float* prev = row - nx;
+    if (y == 0) {
+      for (int64_t x = 0; x < nx; ++x) {
+        run += row[x];
+        row[x] = run;
+      }
+    } else {
+      for (int64_t x = 0; x < nx; ++x) {
+        run += row[x];
+        row[x] = run + prev[x];
+      }
+    }
+  }
+  const int64_t* iD = indices;
+  const int64_t* iB = indices + n;
+  const int64_t* iC = indices + 2 * n;
+  const int64_t* iA = indices + 3 * n;
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = sat[iD[i]] - sat[iB[i]] - sat[iC[i]] + sat[iA[i]];
+}
+
+// ----------------------------------------------------- fused target assign
+// The nearest-IoU target-assignment core: per-anchor best-GT (max +
+// argmax), per-GT best overlap, and the force-match tie set — all in two
+// streaming passes over the [n, k] pair space, never materializing the
+// IoU matrix for python (whose per-row reduction overheads dominate the
+// prep profile at ~100k anchors x ~20 GT). Pass 2 recomputes each IoU
+// with IDENTICAL arithmetic, so the tie test (== column max) is
+// bit-exact. Ties keep the first index, matching numpy argmax; an anchor
+// tying several GTs is emitted once (the label write it feeds is
+// idempotent — it uses the anchor's own row argmax).
+static inline float iou2d_one(const float* b, const float* q, double qarea,
+                              double barea, float eps) {
+  const double iw = std::min((double)b[2], (double)q[2]) -
+                    std::max((double)b[0], (double)q[0]) + eps;
+  if (iw <= 0) return 0.f;
+  const double ih = std::min((double)b[3], (double)q[3]) -
+                    std::max((double)b[1], (double)q[1]) + eps;
+  if (ih <= 0) return 0.f;
+  const double inter = iw * ih;
+  return (float)(inter / (barea + qarea - inter));
+}
+
+int64_t iou2d_assign(const float* boxes, int64_t n, const float* qboxes,
+                     int64_t k, float eps, int32_t* row_argmax,
+                     float* row_max, float* col_max,
+                     int32_t* force_anchors) {
+  std::vector<double> qarea(k);
+  for (int64_t j = 0; j < k; ++j) {
+    qarea[j] = ((double)qboxes[j * 4 + 2] - qboxes[j * 4] + eps) *
+               ((double)qboxes[j * 4 + 3] - qboxes[j * 4 + 1] + eps);
+    col_max[j] = 0.f;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const float* b = boxes + i * 4;
+    const double barea =
+        ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
+    float bm = -1.f;
+    int32_t barg = 0;
+    for (int64_t j = 0; j < k; ++j) {
+      const float v = iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
+      if (v > bm) {
+        bm = v;
+        barg = (int32_t)j;
+      }
+      if (v > col_max[j]) col_max[j] = v;
+    }
+    row_max[i] = bm;
+    row_argmax[i] = barg;
+  }
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* b = boxes + i * 4;
+    const double barea =
+        ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
+    for (int64_t j = 0; j < k; ++j) {
+      if (col_max[j] <= 0.f) continue;  // zero-overlap GTs match nothing
+      const float v = iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
+      if (v == col_max[j]) {
+        force_anchors[cnt++] = (int32_t)i;
+        break;
+      }
+    }
+  }
+  return cnt;
+}
+
 }  // extern "C"

@@ -278,10 +278,6 @@ def prep_pointcloud(
 
     anchors_mask = None
     if anchor_area_threshold >= 0:
-        dense_map = box_np.sparse_sum_for_anchors_mask(
-            coordinates[:num_voxels], tuple(grid_size[::-1][1:])
-        )
-        dense_map = dense_map.cumsum(0).cumsum(1)
         area_idx = None
         if anchor_cache is not None:
             # anchor grid is static: compute the SAT corner indices once
@@ -291,10 +287,25 @@ def prep_pointcloud(
                     anchors_bv, voxel_size, pc_range, grid_size
                 )
                 anchor_cache["area_indices"] = area_idx
-        anchors_area = box_np.fused_get_anchors_area(
-            dense_map, anchors_bv, voxel_size, pc_range, grid_size,
-            indices=area_idx,
-        )
+        ny, nx = tuple(grid_size[::-1][1:])
+        anchors_area = None
+        if area_idx is not None:
+            from papc_tpu import cc
+
+            if cc.available():
+                # fused C++: counts -> SAT -> 4-corner gather in one call
+                anchors_area = cc.anchors_area(
+                    coordinates[:num_voxels], ny, nx, area_idx
+                )
+        if anchors_area is None:
+            dense_map = box_np.sparse_sum_for_anchors_mask(
+                coordinates[:num_voxels], (ny, nx)
+            )
+            dense_map = dense_map.cumsum(0).cumsum(1)
+            anchors_area = box_np.fused_get_anchors_area(
+                dense_map, anchors_bv, voxel_size, pc_range, grid_size,
+                indices=area_idx,
+            )
         anchors_mask = anchors_area > anchor_area_threshold
         example["anchors_mask"] = anchors_mask
     if generate_bev:
@@ -317,6 +328,7 @@ def prep_pointcloud(
             matched_thresholds=matched_thresholds,
             unmatched_thresholds=unmatched_thresholds,
             rng=rng,
+            anchors_bv=anchors_bv,
         )
         example.update(
             {

@@ -17,10 +17,16 @@ class RotateIouSimilarity:
 
 
 class NearestIouSimilarity:
-    """Axis-aligned IoU on nearest standup boxes (reference :73-93)."""
+    """Axis-aligned IoU on nearest standup boxes (reference :73-93).
 
-    def compare(self, boxes1, boxes2):
-        boxes1_bv = box_np.rbbox2d_to_near_bbox(boxes1)
+    ``boxes1_bv`` lets the caller pass precomputed standup boxes — the
+    anchor side is static per experiment, and recomputing ~100k anchor
+    corners per sample was a measurable slice of host prep.
+    """
+
+    def compare(self, boxes1, boxes2, boxes1_bv=None):
+        if boxes1_bv is None:
+            boxes1_bv = box_np.rbbox2d_to_near_bbox(boxes1)
         boxes2_bv = box_np.rbbox2d_to_near_bbox(boxes2)
         return box_np.iou_2d(boxes1_bv, boxes2_bv)
 

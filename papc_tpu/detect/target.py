@@ -12,12 +12,19 @@ from __future__ import annotations
 
 import numpy as np
 
+from papc_tpu.detect.similarity import NearestIouSimilarity
+
 
 def unmap(data, count, inds, fill=0):
     if count == len(inds):
         return data
     shape = (count,) + data.shape[1:]
-    ret = np.full(shape, fill, dtype=data.dtype)
+    if fill == 0:
+        # calloc path: ~3 MB of reg targets per sample, np.zeros gets
+        # lazily-zeroed pages where np.full writes every byte
+        ret = np.zeros(shape, dtype=data.dtype)
+    else:
+        ret = np.full(shape, fill, dtype=data.dtype)
     ret[inds] = data
     return ret
 
@@ -36,6 +43,7 @@ def create_target_np(
     norm_by_num_examples=False,
     box_code_size=7,
     rng: np.random.RandomState | None = None,
+    assign_core_fn=None,
 ):
     total_anchors = all_anchors.shape[0]
     if prune_anchor_fn is not None:
@@ -59,23 +67,29 @@ def create_target_np(
 
     have_work = len(gt_boxes) > 0 and num_inside > 0
     if have_work:
-        overlap = similarity_fn(anchors, gt_boxes)  # [A, G]
-        anchor_to_gt_argmax = overlap.argmax(axis=1)
-        anchor_to_gt_max = overlap[
-            np.arange(num_inside), anchor_to_gt_argmax
-        ]
-        gt_to_anchor_argmax = overlap.argmax(axis=0)
-        gt_to_anchor_max = overlap[
-            gt_to_anchor_argmax, np.arange(overlap.shape[1])
-        ]
-        # GTs with zero best overlap match nothing
-        gt_to_anchor_max = np.where(
-            gt_to_anchor_max == 0, -1.0, gt_to_anchor_max
-        )
-        # force-match: anchors tying each GT's best overlap
-        anchors_with_max_overlap = np.where(
-            overlap == gt_to_anchor_max
-        )[0]
+        if assign_core_fn is not None:
+            # fused C++ path: IoU + row/col max/argmax + force-match
+            # ties in one streaming pass (cc.iou2d_assign)
+            (
+                anchor_to_gt_argmax,
+                anchor_to_gt_max,
+                anchors_with_max_overlap,
+            ) = assign_core_fn(anchors, gt_boxes)
+        else:
+            overlap = similarity_fn(anchors, gt_boxes)  # [A, G]
+            anchor_to_gt_argmax = overlap.argmax(axis=1)
+            anchor_to_gt_max = overlap.max(axis=1)
+            gt_to_anchor_max = overlap.max(axis=0)
+            # GTs with zero best overlap match nothing
+            gt_to_anchor_max = np.where(
+                gt_to_anchor_max == 0, -1.0, gt_to_anchor_max
+            )
+            # force-match: anchors tying each GT's best overlap (an
+            # anchor may appear once per tied GT — the label writes
+            # below are idempotent, both use the anchor's row argmax)
+            anchors_with_max_overlap = np.where(
+                overlap == gt_to_anchor_max
+            )[0]
         gt_inds_force = anchor_to_gt_argmax[anchors_with_max_overlap]
         labels[anchors_with_max_overlap] = gt_classes[gt_inds_force]
         gt_ids[anchors_with_max_overlap] = gt_inds_force
@@ -176,17 +190,49 @@ class TargetAssigner:
         matched_thresholds=None,
         unmatched_thresholds=None,
         rng=None,
+        anchors_bv=None,
     ):
-        prune_fn = (
-            (lambda _: np.where(anchors_mask)[0])
-            if anchors_mask is not None
-            else None
-        )
+        """``anchors_bv``: optional precomputed standup boxes for ALL
+        anchors (the per-experiment anchor cache) — forwarded to the
+        nearest-IoU similarity so ~100k anchor corners aren't recomputed
+        every sample."""
+        if anchors_mask is not None:
+            inds_inside = np.where(anchors_mask)[0]
+            prune_fn = lambda _: inds_inside  # noqa: E731
+        else:
+            inds_inside = None
+            prune_fn = None
+        bv = None
+        if anchors_bv is not None and isinstance(
+            self._similarity, NearestIouSimilarity
+        ):
+            bv = (
+                anchors_bv[inds_inside]
+                if inds_inside is not None
+                else anchors_bv
+            )
 
         def similarity_fn(anchors_, gt_boxes_):
-            return self._similarity.compare(
-                anchors_[:, [0, 1, 3, 4, 6]], gt_boxes_[:, [0, 1, 3, 4, 6]]
-            )
+            a5 = anchors_[:, [0, 1, 3, 4, 6]]
+            g5 = gt_boxes_[:, [0, 1, 3, 4, 6]]
+            if bv is not None:
+                return self._similarity.compare(a5, g5, boxes1_bv=bv)
+            return self._similarity.compare(a5, g5)
+
+        assign_core_fn = None
+        if bv is not None:
+            from papc_tpu import cc
+
+            if cc.available():
+
+                def assign_core_fn(anchors_, gt_boxes_):
+                    import papc_tpu.detect.box_np as box_np
+
+                    gt_bv = box_np.rbbox2d_to_near_bbox(
+                        gt_boxes_[:, [0, 1, 3, 4, 6]]
+                    )
+                    ra, rm, _, force = cc.iou2d_assign(bv, gt_bv)
+                    return ra, rm, force
 
         return create_target_np(
             anchors,
@@ -202,6 +248,7 @@ class TargetAssigner:
             norm_by_num_examples=False,
             box_code_size=self._box_coder.code_size,
             rng=rng,
+            assign_core_fn=assign_core_fn,
         )
 
     def generate_anchors(self, feature_map_size):

@@ -235,3 +235,59 @@ def test_iou2d_matches_numpy(rng):
                 cc.iou2d(boxes, q, eps), _iou_2d_np(boxes, q, eps),
                 rtol=1e-5, atol=1e-6,
             )
+
+class TestFusedAssign:
+    def test_iou2d_assign_matches_numpy(self, rng):
+        def bv(n):
+            x1 = rng.uniform(0, 50, n)
+            y1 = rng.uniform(0, 50, n)
+            return np.stack(
+                [x1, y1, x1 + rng.uniform(1, 5, n),
+                 y1 + rng.uniform(1, 5, n)], 1,
+            ).astype(np.float32)
+
+        a, g = bv(4000), bv(15)
+        ra, rm, cm, force = cc.iou2d_assign(a, g)
+        ov = cc.iou2d(a, g)
+        np.testing.assert_array_equal(ra, ov.argmax(1))
+        np.testing.assert_allclose(rm, ov.max(1))
+        np.testing.assert_allclose(cm, ov.max(0))
+        gm = np.where(ov.max(0) == 0, -1.0, ov.max(0))
+        np.testing.assert_array_equal(
+            np.sort(force), np.unique(np.where(ov == gm)[0])
+        )
+
+    def test_iou2d_assign_empty(self):
+        ra, rm, cm, force = cc.iou2d_assign(
+            np.zeros((0, 4), np.float32), np.zeros((3, 4), np.float32)
+        )
+        assert len(ra) == 0 and len(force) == 0 and len(cm) == 3
+
+
+class TestAnchorsAreaSAT:
+    def test_matches_numpy_chain(self, rng):
+        from papc_tpu.detect import box_np
+
+        ny, nx = 64, 48
+        V = 500
+        coors = np.stack(
+            [np.zeros(V), rng.randint(0, ny, V), rng.randint(0, nx, V)],
+            1,
+        ).astype(np.int32)
+        N = 3000
+        bv = np.stack(
+            [rng.uniform(0, 7, N), rng.uniform(-5, 5, N)], 1
+        )
+        bv = np.concatenate(
+            [bv, bv + rng.uniform(0.5, 2, (N, 2))], 1
+        ).astype(np.float32)
+        vs, off, gs = [0.16, 0.16, 4], [0, -5.12, -3], [nx, ny, 1]
+        idx = box_np.precompute_anchor_area_indices(bv, vs, off, gs)
+        dm = box_np.sparse_sum_for_anchors_mask(coors, (ny, nx))
+        dm = dm.cumsum(0).cumsum(1)
+        want = box_np.fused_get_anchors_area(
+            dm, bv, vs, off, gs, indices=idx
+        )
+        got = cc.anchors_area(coors, ny, nx, idx)
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+

@@ -27,7 +27,11 @@ def enable_persistent_cache(cache_dir: str | None = None):
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY entry: compiles go through the remote relay, so
+        # even "fast" sub-second init ops cost a round trip each — a
+        # fresh process used to pay ~100 tiny misses (~80 s) while the
+        # big jitted programs were already cache hits
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", 0
         )

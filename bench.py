@@ -390,11 +390,17 @@ def main():
     enable_persistent_cache()
 
     def safe(fn, *a, default=None, **k):
-        """A failed/slow EXTRA must not cost the headline JSON line."""
+        """A failed/slow EXTRA must not cost the headline JSON line.
+        Diagnostics go to stderr — stdout carries ONE JSON line."""
+        import sys
+
         try:
             return fn(*a, **k)
         except Exception as e:  # noqa: BLE001
-            print(f"# bench stage {fn.__name__} skipped: {e!r}")
+            print(
+                f"# bench stage {fn.__name__} skipped: {e!r}",
+                file=sys.stderr,
+            )
             return default
 
     # tiny-kernel extras FIRST: measured after the big programs load,

@@ -44,6 +44,27 @@ def _load():
     if not os.path.exists(_LIB):
         build()
     lib = ctypes.CDLL(_LIB)
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale .so missing newly added symbols (e.g. an mtime-preserving
+        # copy defeated build()'s freshness check): rebuild, then load
+        # through a uniquely-named copy — dlopen caches by path/inode, so
+        # reloading the original path could hand back the old object
+        build(force=True)
+        import shutil
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".so")
+        os.close(fd)
+        shutil.copy2(_LIB, tmp)
+        lib = ctypes.CDLL(tmp)
+        _bind(lib)
+    _lib = lib
+    return lib
+
+
+def _bind(lib):
     i64, i32, f32, u8 = (
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
@@ -91,15 +112,17 @@ def _load():
         f64, i64, i64, f64, f64, i32, i32, f64, i64,
         ctypes.c_int, ctypes.c_double, f64, i64, ctypes.c_int, f64,
     ]
-    _lib = lib
-    return lib
 
 
 def available() -> bool:
+    """Probe whether the native tier is usable. Broad catch by design:
+    this is the fall-back-to-numpy decision point, and ANY load/bind
+    failure (missing toolchain, stale .so whose rebuild also failed)
+    must mean "use the fallback", not a crash in host prep."""
     try:
         _load()
         return True
-    except (OSError, subprocess.CalledProcessError):
+    except Exception:  # noqa: BLE001
         return False
 
 
@@ -133,11 +156,11 @@ def points_to_voxel(
     """First-come voxelization, exact reference semantics. Returns
     (voxels [K, max_points, D], coords [K, 3] zyx, num_points [K]).
 
-    The returned arrays are views into per-workload buffers that are
-    REUSED by the next call with the same (grid, max_points, max_voxels,
-    D) — copy them if they must outlive that call. Every in-repo consumer
-    (prep_pointcloud → collate, the pad_output path, tests) copies
-    immediately.
+    The returned arrays are views into per-workload, PER-THREAD buffers
+    that are REUSED by the same thread's next call with the same (grid,
+    max_points, max_voxels, D) — copy them if they must outlive that
+    call. Every in-repo consumer (prep_pointcloud → collate, the
+    pad_output path, tests) copies immediately.
     """
     lib = _load()
     points = _f32(points)
@@ -155,14 +178,24 @@ def points_to_voxel(
             st = {
                 "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
                 "scratch_idx": np.empty(int(grid.prod()), np.int32),
+                "lin": np.empty((N,), np.int64),
+                "epoch": 0,
+            }
+            _vox_cache[key] = st
+        # output buffers are PER-THREAD: the returned arrays are views,
+        # and another thread's next call must not overwrite them while
+        # this caller is still copying (the scratch tables stay shared —
+        # the epoch bump under the lock resets them per call anyway)
+        out_key = (key, threading.get_ident())
+        out = _vox_cache.get(out_key)
+        if out is None:
+            out = {
                 "voxels": np.zeros((max_voxels, max_points, D), np.float32),
                 "coords": np.zeros((max_voxels, 3), np.int32),
                 "nppv": np.zeros((max_voxels,), np.int32),
-                "lin": np.empty((N,), np.int64),
-                "epoch": 0,
                 "prev_k": 0,
             }
-            _vox_cache[key] = st
+            _vox_cache[out_key] = out
         if len(st["lin"]) < N:
             st["lin"] = np.empty((N,), np.int64)
         st["epoch"] += 1
@@ -176,13 +209,13 @@ def points_to_voxel(
             _ptr(st["scratch_idx"], ctypes.c_int32),
             st["epoch"],
             _ptr(st["lin"], ctypes.c_int64),
-            _ptr(st["voxels"], ctypes.c_float),
-            _ptr(st["coords"], ctypes.c_int32),
-            _ptr(st["nppv"], ctypes.c_int32),
-            max_points, max_voxels, st["prev_k"],
+            _ptr(out["voxels"], ctypes.c_float),
+            _ptr(out["coords"], ctypes.c_int32),
+            _ptr(out["nppv"], ctypes.c_int32),
+            max_points, max_voxels, out["prev_k"],
         )
-        st["prev_k"] = k
-        return st["voxels"][:k], st["coords"][:k], st["nppv"][:k]
+        out["prev_k"] = k
+        return out["voxels"][:k], out["coords"][:k], out["nppv"][:k]
 
 
 def points_to_voxel_padded(

@@ -365,9 +365,12 @@ def noise_per_object_(
         apply = any_box & valid_mask[first_box] & chosen[first_box]
         idx = first_box[apply]
         rel = points[apply, :3] - gt_boxes[idx, :3]
+        # SAME convention as box_np.rotation_2d / the reference's
+        # points_transform_ (p @ [[c,-s],[s,c]], preprocess.py:205-209):
+        # points must rotate WITH the box yaw, not its transpose
         c, s = np.cos(rot_t[idx]), np.sin(rot_t[idx])
-        x = rel[:, 0] * c - rel[:, 1] * s
-        y = rel[:, 0] * s + rel[:, 1] * c
+        x = rel[:, 0] * c + rel[:, 1] * s
+        y = -rel[:, 0] * s + rel[:, 1] * c
         rel = np.stack([x, y, rel[:, 2]], axis=1)
         points[apply, :3] = (
             rel + gt_boxes[idx, :3] + loc_t[idx]

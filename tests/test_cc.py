@@ -248,6 +248,7 @@ class TestFusedAssign:
 
         a, g = bv(4000), bv(15)
         ra, rm, cm, force = cc.iou2d_assign(a, g)
+        # exact vs the C++ matrix kernel (identical arithmetic)
         ov = cc.iou2d(a, g)
         np.testing.assert_array_equal(ra, ov.argmax(1))
         np.testing.assert_allclose(rm, ov.max(1))
@@ -255,6 +256,16 @@ class TestFusedAssign:
         gm = np.where(ov.max(0) == 0, -1.0, ov.max(0))
         np.testing.assert_array_equal(
             np.sort(force), np.unique(np.where(ov == gm)[0])
+        )
+        # and vs the independent NUMPY oracle (CLAUDE.md convention —
+        # catches a shared-arithmetic bug in the C++ helpers); float32
+        # vs double intermediates -> tolerance, value-level argmax check
+        ov_np = box_np._iou_2d_np(a, g)
+        np.testing.assert_allclose(rm, ov_np.max(1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(cm, ov_np.max(0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            ov_np[np.arange(len(a)), ra], ov_np.max(1),
+            rtol=1e-5, atol=1e-6,
         )
 
     def test_iou2d_assign_empty(self):

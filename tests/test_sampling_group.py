@@ -321,3 +321,34 @@ class TestRotationConvention:
             base[:, None], rot[:, 0:1]
         )[0, 0] + (box[0, :2] + loc[0, 0, :2])
         np.testing.assert_allclose(applied[0], cand, atol=1e-9)
+
+    def test_points_rotate_with_the_box(self):
+        """The points inside a noised box must land where the yaw-derived
+        footprint lands (regression: the inline point rotation was the
+        transpose of the corner/yaw convention, so object clouds rotated
+        opposite to their regression targets)."""
+        from papc_tpu.detect import box_np
+        from papc_tpu.detect.kitti.augment import noise_per_object_
+
+        box = np.array([[10.0, 5.0, 0.0, 2.0, 4.0, 1.5, 0.3]])
+        # a point glued to the box's local +x direction, mid-height
+        local = np.array([0.8, 0.0])
+        c0, s0 = np.cos(box[0, 6]), np.sin(box[0, 6])
+        world = (local[None] @ np.array([[c0, -s0], [s0, c0]]))[0]
+        pts = np.array([[box[0, 0] + world[0], box[0, 1] + world[1],
+                         0.75, 0.5]])
+        boxes = box.copy()
+        rng = np.random.RandomState(11)
+        noise_per_object_(
+            boxes, pts, rotation_perturb=0.5, center_noise_std=0.3,
+            num_try=5, rng=rng,
+        )
+        # expected: same local offset expressed at the NEW yaw + center
+        c1, s1 = np.cos(boxes[0, 6]), np.sin(boxes[0, 6])
+        want = (local[None] @ np.array([[c1, -s1], [s1, c1]]))[0]
+        np.testing.assert_allclose(
+            pts[0, :2], boxes[0, :2] + want, atol=1e-6
+        )
+        # and the point is still inside the moved box
+        inside = box_np.points_in_rbbox(pts, boxes)
+        assert inside[0, 0]

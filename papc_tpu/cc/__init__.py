@@ -89,7 +89,7 @@ def _bind(lib):
     lib.iou2d.argtypes = [f32, i64, f32, i64, ctypes.c_float, f32]
     lib.iou2d_assign.restype = i64
     lib.iou2d_assign.argtypes = [
-        f32, i64, f32, i64, ctypes.c_float, i32, f32, f32, i32,
+        f32, i64, f32, i64, ctypes.c_float, i32, f32, f32, i32, i64,
     ]
     p64 = ctypes.POINTER(ctypes.c_int64)
     lib.anchors_area_sat.restype = None
@@ -311,7 +311,8 @@ def iou2d(
 
 
 def iou2d_assign(
-    boxes: np.ndarray, qboxes: np.ndarray, eps: float = 0.0
+    boxes: np.ndarray, qboxes: np.ndarray, eps: float = 0.0,
+    num_threads: int = 0,
 ):
     """Fused nearest-IoU target-assignment core over [N,4] anchor and
     [K,4] GT standup boxes. Returns ``(row_argmax, row_max, col_max,
@@ -320,6 +321,8 @@ def iou2d_assign(
     overlap (force matches, zero-overlap GTs excluded). Streams the pair
     space in C++ instead of materializing the IoU matrix for numpy
     reductions; equivalent to the ``create_target_np`` overlap block.
+    ``num_threads``: 0 = auto (hardware concurrency, capped at 8,
+    single-thread below 200k pairs); >0 forces that thread count.
     """
     lib = _load()
     boxes = _f32(boxes)
@@ -339,6 +342,7 @@ def iou2d_assign(
             _ptr(row_max, ctypes.c_float),
             _ptr(col_max, ctypes.c_float),
             _ptr(force, ctypes.c_int32),
+            int(num_threads),
         )
     return row_argmax, row_max, col_max, force[:cnt]
 

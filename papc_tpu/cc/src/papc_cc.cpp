@@ -21,6 +21,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -707,43 +708,91 @@ static inline float iou2d_one(const float* b, const float* q, double qarea,
 int64_t iou2d_assign(const float* boxes, int64_t n, const float* qboxes,
                      int64_t k, float eps, int32_t* row_argmax,
                      float* row_max, float* col_max,
-                     int32_t* force_anchors) {
+                     int32_t* force_anchors, int64_t num_threads) {
   std::vector<double> qarea(k);
   for (int64_t j = 0; j < k; ++j) {
     qarea[j] = ((double)qboxes[j * 4 + 2] - qboxes[j * 4] + eps) *
                ((double)qboxes[j * 4 + 3] - qboxes[j * 4 + 1] + eps);
     col_max[j] = 0.f;
   }
-  for (int64_t i = 0; i < n; ++i) {
-    const float* b = boxes + i * 4;
-    const double barea =
-        ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
-    float bm = -1.f;
-    int32_t barg = 0;
-    for (int64_t j = 0; j < k; ++j) {
-      const float v = iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
-      if (v > bm) {
-        bm = v;
-        barg = (int32_t)j;
+  // threads over anchor ranges; per-thread col max merged with fmax
+  // (exact — max is order-independent), per-thread force lists
+  // concatenated in range order (preserves the anchor-major emission
+  // order of the single-thread loop)
+  int64_t nt = num_threads > 0
+                   ? num_threads
+                   : (int64_t)std::thread::hardware_concurrency();
+  nt = std::max<int64_t>(1, std::min<int64_t>(nt, 8));
+  if (num_threads <= 0 && n * k < 200000) nt = 1;
+
+  auto pass1 = [&](int64_t i0, int64_t i1, float* cm) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const float* b = boxes + i * 4;
+      const double barea =
+          ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
+      float bm = -1.f;
+      int32_t barg = 0;
+      for (int64_t j = 0; j < k; ++j) {
+        const float v =
+            iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
+        if (v > bm) {
+          bm = v;
+          barg = (int32_t)j;
+        }
+        if (v > cm[j]) cm[j] = v;
       }
-      if (v > col_max[j]) col_max[j] = v;
+      row_max[i] = bm;
+      row_argmax[i] = barg;
     }
-    row_max[i] = bm;
-    row_argmax[i] = barg;
+  };
+  auto pass2 = [&](int64_t i0, int64_t i1, std::vector<int32_t>* out) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const float* b = boxes + i * 4;
+      const double barea =
+          ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
+      for (int64_t j = 0; j < k; ++j) {
+        if (col_max[j] <= 0.f) continue;  // zero-overlap GT: no match
+        const float v =
+            iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
+        if (v == col_max[j]) {
+          out->push_back((int32_t)i);
+          break;
+        }
+      }
+    }
+  };
+
+  if (nt == 1) {
+    pass1(0, n, col_max);
+    std::vector<int32_t> f;
+    pass2(0, n, &f);
+    std::copy(f.begin(), f.end(), force_anchors);
+    return (int64_t)f.size();
+  }
+  const int64_t chunk = (n + nt - 1) / nt;
+  std::vector<std::vector<float>> cms(nt, std::vector<float>(k, 0.f));
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nt; ++t)
+      ts.emplace_back(pass1, t * chunk, std::min(n, (t + 1) * chunk),
+                      cms[t].data());
+    for (auto& t : ts) t.join();
+  }
+  for (int64_t t = 0; t < nt; ++t)
+    for (int64_t j = 0; j < k; ++j)
+      if (cms[t][j] > col_max[j]) col_max[j] = cms[t][j];
+  std::vector<std::vector<int32_t>> fs(nt);
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nt; ++t)
+      ts.emplace_back(pass2, t * chunk, std::min(n, (t + 1) * chunk),
+                      &fs[t]);
+    for (auto& t : ts) t.join();
   }
   int64_t cnt = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const float* b = boxes + i * 4;
-    const double barea =
-        ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
-    for (int64_t j = 0; j < k; ++j) {
-      if (col_max[j] <= 0.f) continue;  // zero-overlap GTs match nothing
-      const float v = iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
-      if (v == col_max[j]) {
-        force_anchors[cnt++] = (int32_t)i;
-        break;
-      }
-    }
+  for (int64_t t = 0; t < nt; ++t) {
+    std::copy(fs[t].begin(), fs[t].end(), force_anchors + cnt);
+    cnt += (int64_t)fs[t].size();
   }
   return cnt;
 }

@@ -268,6 +268,25 @@ class TestFusedAssign:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_forced_threaded_path_matches_single(self, rng):
+        """The multi-thread branch never auto-activates on a 1-core CI
+        box — force it and require bit-equality with the single-thread
+        path (col-max merge + ordered force-list concat are exact)."""
+        def bv(n):
+            x1 = rng.uniform(0, 50, n)
+            y1 = rng.uniform(0, 50, n)
+            return np.stack(
+                [x1, y1, x1 + rng.uniform(1, 5, n),
+                 y1 + rng.uniform(1, 5, n)], 1,
+            ).astype(np.float32)
+
+        a, g = bv(20000), bv(13)
+        base = cc.iou2d_assign(a, g, num_threads=1)
+        for nt in (2, 5):
+            got = cc.iou2d_assign(a, g, num_threads=nt)
+            for x, y in zip(base, got):
+                np.testing.assert_array_equal(x, y)
+
     def test_iou2d_assign_empty(self):
         ra, rm, cm, force = cc.iou2d_assign(
             np.zeros((0, 4), np.float32), np.zeros((3, 4), np.float32)

@@ -104,6 +104,11 @@ def _bind(lib):
     lib.points_in_polygon3d.argtypes = [f32, i64, f32, i64, u8]
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [f32, i64, f32, i64, u8]
+    p64b = ctypes.POINTER(ctypes.c_int64)
+    lib.noise_select.restype = None
+    lib.noise_select.argtypes = [
+        f32, i64, i64, f32, p64b, p64b, i64, u8, p64b,
+    ]
     lib.kd_build.restype = None
     lib.kd_build.argtypes = [f32, i64, i32, i32]
     f64 = ctypes.POINTER(ctypes.c_double)
@@ -345,6 +350,37 @@ def iou2d_assign(
             int(num_threads),
         )
     return row_argmax, row_max, col_max, force[:cnt]
+
+
+def noise_select(
+    cands: np.ndarray,
+    corners: np.ndarray,
+    group_starts: np.ndarray,
+    group_sizes: np.ndarray,
+    valid: np.ndarray,
+) -> np.ndarray:
+    """Sequential noise-trial acceptance (reference noise_per_box /
+    noise_per_box_group): first collision-free trial per group, corners
+    updated IN PLACE so later groups test against moved footprints.
+    ``cands [N, T, 4, 2]``, ``corners [N, 4, 2]`` float32 (mutated);
+    returns ``selected [N]`` int64 (-1 = none accepted)."""
+    lib = _load()
+    cands = np.ascontiguousarray(cands, np.float32)
+    if corners.dtype != np.float32 or not corners.flags.c_contiguous:
+        raise ValueError("corners must be contiguous float32 (mutated)")
+    n, t = cands.shape[0], cands.shape[1]
+    gs = np.ascontiguousarray(group_starts, np.int64)
+    gz = np.ascontiguousarray(group_sizes, np.int64)
+    v = np.ascontiguousarray(valid, np.uint8)
+    sel = np.empty((n,), np.int64)
+    if n:
+        lib.noise_select(
+            _ptr(cands, ctypes.c_float), n, t,
+            _ptr(corners, ctypes.c_float),
+            _ptr(gs, ctypes.c_int64), _ptr(gz, ctypes.c_int64), len(gs),
+            _ptr(v, ctypes.c_uint8), _ptr(sel, ctypes.c_int64),
+        )
+    return sel
 
 
 def anchors_area(

@@ -406,70 +406,124 @@ void points_in_polygon3d(
 }
 
 // -------------------------------------------------------- collision test
+namespace {
+
+inline void quad_standup(const float* c, double* s) {
+  s[0] = s[1] = 1e30; s[2] = s[3] = -1e30;
+  for (int i = 0; i < 4; ++i) {
+    s[0] = std::min(s[0], (double)c[i * 2]);
+    s[1] = std::min(s[1], (double)c[i * 2 + 1]);
+    s[2] = std::max(s[2], (double)c[i * 2]);
+    s[3] = std::max(s[3], (double)c[i * 2 + 1]);
+  }
+}
+
+inline bool quad_ccw3(const float* p, const float* q, const float* r) {
+  return (double)(r[1] - p[1]) * (q[0] - p[0]) >
+         (double)(q[1] - p[1]) * (r[0] - p[0]);
+}
+
+inline bool quad_seg_int(const float* A, const float* B, const float* C,
+                         const float* D) {
+  return quad_ccw3(A, C, D) != quad_ccw3(B, C, D) &&
+         quad_ccw3(A, B, C) != quad_ccw3(A, B, D);
+}
+
+// true if quad (any winding, checked clockwise per reference) strictly
+// contains all 4 pts
+inline bool quad_contains_all(const float* quad, const float* pts) {
+  for (int l = 0; l < 4; ++l) {
+    for (int c = 0; c < 4; ++c) {
+      const int c2 = (c + 1) % 4;
+      double vx = -(quad[c * 2] - quad[c2 * 2]);
+      double vy = -(quad[c * 2 + 1] - quad[c2 * 2 + 1]);
+      const double crossv = vy * (quad[c * 2] - pts[l * 2]) -
+                            vx * (quad[c * 2 + 1] - pts[l * 2 + 1]);
+      if (crossv >= 0) return false;
+    }
+  }
+  return true;
+}
+
+// full pair test: standup prefilter, 16 edge pairs, mutual containment
+inline bool quad_pair_collide(const float* bi, const double* sbi,
+                              const float* qj, const double* sqj) {
+  const double iw = std::min(sbi[2], sqj[2]) - std::max(sbi[0], sqj[0]);
+  if (iw <= 0) return false;
+  const double ih = std::min(sbi[3], sqj[3]) - std::max(sbi[1], sqj[1]);
+  if (ih <= 0) return false;
+  for (int a = 0; a < 4; ++a)
+    for (int b = 0; b < 4; ++b)
+      if (quad_seg_int(bi + a * 2, bi + ((a + 1) % 4) * 2,
+                       qj + b * 2, qj + ((b + 1) % 4) * 2))
+        return true;
+  return quad_contains_all(bi, qj) || quad_contains_all(qj, bi);
+}
+
+}  // namespace
+
 // boxes/qboxes: corner boxes [N, 4, 2] / [K, 4, 2] float32 (BEV).
 // out: [N, K] uint8 — edge intersection OR full containment.
 void box_collision_test(
     const float* boxes, int64_t n, const float* qboxes, int64_t k,
     uint8_t* out) {
-  auto standup = [](const float* c, double* s) {
-    s[0] = s[1] = 1e30; s[2] = s[3] = -1e30;
-    for (int i = 0; i < 4; ++i) {
-      s[0] = std::min(s[0], (double)c[i * 2]);
-      s[1] = std::min(s[1], (double)c[i * 2 + 1]);
-      s[2] = std::max(s[2], (double)c[i * 2]);
-      s[3] = std::max(s[3], (double)c[i * 2 + 1]);
-    }
-  };
-  auto seg_int = [](const float* A, const float* B, const float* C,
-                    const float* D) {
-    auto ccw = [](const float* p, const float* q, const float* r) {
-      return (double)(r[1] - p[1]) * (q[0] - p[0]) >
-             (double)(q[1] - p[1]) * (r[0] - p[0]);
-    };
-    return ccw(A, C, D) != ccw(B, C, D) && ccw(A, B, C) != ccw(A, B, D);
-  };
-  auto contains_all = [](const float* quad, const float* pts) {
-    // true if quad (any winding, checked clockwise per reference)
-    // strictly contains all 4 pts
-    for (int l = 0; l < 4; ++l) {
-      for (int c = 0; c < 4; ++c) {
-        const int c2 = (c + 1) % 4;
-        double vx = -(quad[c * 2] - quad[c2 * 2]);
-        double vy = -(quad[c * 2 + 1] - quad[c2 * 2 + 1]);
-        const double crossv =
-            vy * (quad[c * 2] - pts[l * 2]) -
-            vx * (quad[c * 2 + 1] - pts[l * 2 + 1]);
-        if (crossv >= 0) return false;
-      }
-    }
-    return true;
-  };
   std::vector<double> sb(n * 4), sq(k * 4);
-  for (int64_t i = 0; i < n; ++i) standup(boxes + i * 8, &sb[i * 4]);
-  for (int64_t j = 0; j < k; ++j) standup(qboxes + j * 8, &sq[j * 4]);
+  for (int64_t i = 0; i < n; ++i) quad_standup(boxes + i * 8, &sb[i * 4]);
+  for (int64_t j = 0; j < k; ++j) quad_standup(qboxes + j * 8, &sq[j * 4]);
   for (int64_t i = 0; i < n; ++i) {
     const float* bi = boxes + i * 8;
     for (int64_t j = 0; j < k; ++j) {
-      out[i * k + j] = 0;
-      const double iw = std::min(sb[i * 4 + 2], sq[j * 4 + 2]) -
-                        std::max(sb[i * 4], sq[j * 4]);
-      if (iw <= 0) continue;
-      const double ih = std::min(sb[i * 4 + 3], sq[j * 4 + 3]) -
-                        std::max(sb[i * 4 + 1], sq[j * 4 + 1]);
-      if (ih <= 0) continue;
-      const float* qj = qboxes + j * 8;
-      bool hit = false;
-      for (int a = 0; a < 4 && !hit; ++a) {
-        for (int b = 0; b < 4 && !hit; ++b) {
-          if (seg_int(bi + a * 2, bi + ((a + 1) % 4) * 2,
-                      qj + b * 2, qj + ((b + 1) % 4) * 2))
-            hit = true;
+      out[i * k + j] = quad_pair_collide(bi, &sb[i * 4], qboxes + j * 8,
+                                         &sq[j * 4])
+                           ? 1
+                           : 0;
+    }
+  }
+}
+
+// ------------------------------------------------- per-object noise trials
+// Sequential trial acceptance of noise_per_object_ (reference numba
+// noise_per_box / noise_per_box_group, libs/preprocess.py:252-457): for
+// each group (singleton groups = per-box mode) in index order, try the
+// trials in order and accept the FIRST whose members' candidate corners
+// collide with NO current box outside the group; accepted members'
+// corners update in place so later groups test against moved footprints.
+// cands: [N, T, 4, 2]; corners: [N, 4, 2] (modified in place);
+// group_starts/group_sizes: [G] (members are contiguous index ranges);
+// valid: [N] uint8 (group gated by its first member, as the reference);
+// selected: [N] int64 out, -1 = no trial accepted.
+void noise_select(const float* cands, int64_t n, int64_t t,
+                  float* corners, const int64_t* group_starts,
+                  const int64_t* group_sizes, int64_t g,
+                  const uint8_t* valid, int64_t* selected) {
+  std::vector<double> stand(n * 4);
+  for (int64_t i = 0; i < n; ++i)
+    quad_standup(corners + i * 8, &stand[i * 4]);
+  for (int64_t i = 0; i < n; ++i) selected[i] = -1;
+  for (int64_t gi = 0; gi < g; ++gi) {
+    const int64_t m0 = group_starts[gi], ms = group_sizes[gi];
+    if (!valid[m0]) continue;
+    for (int64_t trial = 0; trial < t; ++trial) {
+      bool ok = true;
+      for (int64_t m = m0; m < m0 + ms && ok; ++m) {
+        const float* cq = cands + (m * t + trial) * 8;
+        double sq[4];
+        quad_standup(cq, sq);
+        for (int64_t j = 0; j < n && ok; ++j) {
+          if (j >= m0 && j < m0 + ms) continue;  // skip group members
+          if (quad_pair_collide(cq, sq, corners + j * 8, &stand[j * 4]))
+            ok = false;
         }
       }
-      if (!hit) {
-        if (contains_all(bi, qj) || contains_all(qj, bi)) hit = true;
+      if (ok) {
+        for (int64_t m = m0; m < m0 + ms; ++m) {
+          selected[m] = trial;
+          std::memcpy(corners + m * 8, cands + (m * t + trial) * 8,
+                      8 * sizeof(float));
+          quad_standup(corners + m * 8, &stand[m * 4]);
+        }
+        break;
       }
-      out[i * k + j] = hit ? 1 : 0;
     }
   }
 }

@@ -302,7 +302,27 @@ def noise_per_object_(
     chunks = [8, 24, num_try]
 
     selected = -np.ones(num_boxes, np.int64)
-    if group_nums is None:
+    from papc_tpu import cc
+
+    if cc.available():
+        # native path: the whole sequential accept loop in one C++ call
+        # (cands are cheap to precompute fully: ~N*T*8 floats)
+        cands = np.ascontiguousarray(
+            cand_chunk(list(range(num_boxes)), 0, num_try), np.float32
+        )
+        corners32 = np.ascontiguousarray(box_corners, np.float32)
+        if group_nums is None:
+            starts = np.arange(num_boxes, dtype=np.int64)
+            sizes = np.ones(num_boxes, dtype=np.int64)
+        else:
+            sizes = np.asarray(group_nums, np.int64)
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        selected = cc.noise_select(
+            cands, corners32, starts, sizes,
+            valid_mask.astype(np.uint8),
+        )
+        box_corners[:] = corners32
+    elif group_nums is None:
         for i in range(num_boxes):
             if not valid_mask[i]:
                 continue

@@ -352,3 +352,41 @@ class TestRotationConvention:
         # and the point is still inside the moved box
         inside = box_np.points_in_rbbox(pts, boxes)
         assert inside[0, 0]
+
+
+class TestNoiseSelectNative:
+    def test_cc_trial_loop_matches_python(self, monkeypatch, rng):
+        """The C++ sequential accept loop (cc.noise_select) must pick the
+        SAME trials as the python chunked loop, both modes."""
+        from papc_tpu import cc
+        from papc_tpu.detect.kitti import augment
+
+        def scene(seed):
+            r = np.random.RandomState(seed)
+            n = 8
+            boxes = np.zeros((n, 7), np.float32)
+            boxes[:, 0] = r.uniform(0, 18, n)
+            boxes[:, 1] = r.uniform(-8, 8, n)
+            boxes[:, 3] = 1.7
+            boxes[:, 4] = 4.0
+            boxes[:, 5] = 1.5
+            boxes[:, 6] = r.uniform(-np.pi, np.pi, n)
+            return boxes
+
+        for seed in (0, 1, 2):
+            for groups in (None, np.array([0, 0, 1, 1, 2, 2, 3, 3])):
+                b1 = scene(seed)
+                b2 = b1.copy()
+                kw = dict(
+                    rotation_perturb=0.3, center_noise_std=0.4,
+                    num_try=30, group_ids=groups,
+                )
+                augment.noise_per_object_(
+                    b1, None, rng=np.random.RandomState(7), **kw
+                )
+                monkeypatch.setattr(cc, "available", lambda: False)
+                augment.noise_per_object_(
+                    b2, None, rng=np.random.RandomState(7), **kw
+                )
+                monkeypatch.undo()
+                np.testing.assert_allclose(b1, b2, atol=1e-6)

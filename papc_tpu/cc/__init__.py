@@ -23,17 +23,26 @@ _LIB = os.path.join(_DIR, "libpapc_cc.so")
 _lib = None
 
 
+_build_lock = threading.Lock()
+
+
 def build(force: bool = False) -> str:
-    """Compile the shared library (idempotent)."""
-    if force or not os.path.exists(_LIB) or (
-        os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-    ):
-        subprocess.check_call(
-            [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-std=c++17", _SRC, "-o", _LIB,
-            ]
-        )
+    """Compile the shared library (idempotent). Writes to a temp file
+    and os.replace()s it in: processes still executing the OLD mapped
+    library keep their inode (no SIGBUS from in-place truncation), and
+    a concurrent loader can never dlopen a half-written ELF."""
+    with _build_lock:
+        if force or not os.path.exists(_LIB) or (
+            os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        ):
+            tmp = _LIB + f".build-{os.getpid()}"
+            subprocess.check_call(
+                [
+                    "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    "-pthread", "-std=c++17", _SRC, "-o", tmp,
+                ]
+            )
+            os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -71,14 +80,15 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8),
     )
+    p64 = ctypes.POINTER(ctypes.c_int64)
     lib.points_to_voxel.restype = ctypes.c_int
     lib.points_to_voxel.argtypes = [
-        f32, i64, i64, f32, f32, i32, f32, i32, i32, i64, i64,
+        f32, i64, i64, f32, f32, p64, i32, f32, i32, i32, i64, i64,
     ]
     lib.points_to_voxel_epoch.restype = ctypes.c_int
     lib.points_to_voxel_epoch.argtypes = [
-        f32, i64, i64, f32, f32, i32, i32, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int64), f32, i32, i32, i64, i64,
+        f32, i64, i64, f32, f32, p64, i32, i32, ctypes.c_int32,
+        p64, f32, i32, i32, i64, i64,
         ctypes.c_int32,
     ]
     lib.rbbox_iou.restype = None
@@ -91,7 +101,6 @@ def _bind(lib):
     lib.iou2d_assign.argtypes = [
         f32, i64, f32, i64, ctypes.c_float, i32, f32, f32, i32, i64,
     ]
-    p64 = ctypes.POINTER(ctypes.c_int64)
     lib.anchors_area_sat.restype = None
     lib.anchors_area_sat.argtypes = [
         i32, i64, i64, i64, i64, p64, i64, f32, f32,
@@ -104,10 +113,9 @@ def _bind(lib):
     lib.points_in_polygon3d.argtypes = [f32, i64, f32, i64, u8]
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [f32, i64, f32, i64, u8]
-    p64b = ctypes.POINTER(ctypes.c_int64)
     lib.noise_select.restype = None
     lib.noise_select.argtypes = [
-        f32, i64, i64, f32, p64b, p64b, i64, u8, p64b,
+        f32, i64, i64, f32, p64, p64, i64, u8, p64,
     ]
     lib.kd_build.restype = None
     lib.kd_build.argtypes = [f32, i64, i32, i32]
@@ -151,6 +159,39 @@ _vox_cache: dict = {}
 _vox_lock = threading.Lock()
 
 
+def _grid_of(point_cloud_range, voxel_size) -> np.ndarray:
+    """THE grid-size truth source: numpy float64 half-to-even round,
+    exactly as the oracle and every scratch-table allocation compute it.
+    The C++ kernels take these dims as an argument rather than
+    recomputing them (a C float round once disagreed on .5 extents and
+    indexed past the scratch tables)."""
+    return np.round(
+        (np.asarray(point_cloud_range[3:]) - np.asarray(point_cloud_range[:3]))
+        / np.asarray(voxel_size)
+    ).astype(np.int64)
+
+
+def _get_scratch(key, grid, N):
+    """Shared scratch tables under _vox_lock: create/grow, bump epoch
+    (overflow-safe). Returns the state dict; caller holds the lock."""
+    st = _vox_cache.get(key)
+    if st is None:
+        st = {
+            "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
+            "scratch_idx": np.empty(int(grid.prod()), np.int32),
+            "lin": np.empty((N,), np.int64),
+            "epoch": 0,
+        }
+        _vox_cache[key] = st
+    if len(st["lin"]) < N:
+        st["lin"] = np.empty((N,), np.int64)
+    st["epoch"] += 1
+    if st["epoch"] >= np.iinfo(np.int32).max:
+        st["scratch_epoch"].fill(0)
+        st["epoch"] = 1
+    return st
+
+
 def points_to_voxel(
     points: np.ndarray,
     voxel_size,
@@ -171,26 +212,22 @@ def points_to_voxel(
     points = _f32(points)
     vsz = _f32(voxel_size)
     rng = _f32(point_cloud_range)
-    grid = np.round(
-        (np.asarray(point_cloud_range[3:]) - np.asarray(point_cloud_range[:3]))
-        / np.asarray(voxel_size)
-    ).astype(np.int64)
+    grid = _grid_of(point_cloud_range, voxel_size)
     N, D = points.shape
     key = (grid.tobytes(), int(max_points), int(max_voxels), int(D))
     with _vox_lock:
-        st = _vox_cache.get(key)
-        if st is None:
-            st = {
-                "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
-                "scratch_idx": np.empty(int(grid.prod()), np.int32),
-                "lin": np.empty((N,), np.int64),
-                "epoch": 0,
-            }
-            _vox_cache[key] = st
+        st = _get_scratch(key, grid, N)
         # output buffers are PER-THREAD: the returned arrays are views,
         # and another thread's next call must not overwrite them while
         # this caller is still copying (the scratch tables stay shared —
-        # the epoch bump under the lock resets them per call anyway)
+        # the epoch bump under the lock resets them per call anyway).
+        # Entries of dead threads are evicted so thread churn cannot
+        # grow the cache without bound.
+        live = {t.ident for t in threading.enumerate()}
+        for ok_ in [k_ for k_ in _vox_cache
+                    if isinstance(k_, tuple) and len(k_) == 2
+                    and isinstance(k_[1], int) and k_[1] not in live]:
+            del _vox_cache[ok_]
         out_key = (key, threading.get_ident())
         out = _vox_cache.get(out_key)
         if out is None:
@@ -201,15 +238,10 @@ def points_to_voxel(
                 "prev_k": 0,
             }
             _vox_cache[out_key] = out
-        if len(st["lin"]) < N:
-            st["lin"] = np.empty((N,), np.int64)
-        st["epoch"] += 1
-        if st["epoch"] >= np.iinfo(np.int32).max:
-            st["scratch_epoch"].fill(0)
-            st["epoch"] = 1
         k = lib.points_to_voxel_epoch(
             _ptr(points, ctypes.c_float), N, D,
             _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
+            _ptr(grid, ctypes.c_int64),
             _ptr(st["scratch_epoch"], ctypes.c_int32),
             _ptr(st["scratch_idx"], ctypes.c_int32),
             st["epoch"],
@@ -239,34 +271,18 @@ def points_to_voxel_padded(
     points = _f32(points)
     vsz = _f32(voxel_size)
     rng = _f32(point_cloud_range)
-    grid = np.round(
-        (np.asarray(point_cloud_range[3:]) - np.asarray(point_cloud_range[:3]))
-        / np.asarray(voxel_size)
-    ).astype(np.int64)
+    grid = _grid_of(point_cloud_range, voxel_size)
     N, D = points.shape
     key = ("scratch", grid.tobytes())
     voxels = np.zeros((max_voxels, max_points, D), np.float32)
     coords = np.zeros((max_voxels, 3), np.int32)
     nppv = np.zeros((max_voxels,), np.int32)
     with _vox_lock:
-        st = _vox_cache.get(key)
-        if st is None:
-            st = {
-                "scratch_epoch": np.zeros(int(grid.prod()), np.int32),
-                "scratch_idx": np.empty(int(grid.prod()), np.int32),
-                "lin": np.empty((N,), np.int64),
-                "epoch": 0,
-            }
-            _vox_cache[key] = st
-        if len(st["lin"]) < N:
-            st["lin"] = np.empty((N,), np.int64)
-        st["epoch"] += 1
-        if st["epoch"] >= np.iinfo(np.int32).max:
-            st["scratch_epoch"].fill(0)
-            st["epoch"] = 1
+        st = _get_scratch(key, grid, N)
         k = lib.points_to_voxel_epoch(
             _ptr(points, ctypes.c_float), N, D,
             _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
+            _ptr(grid, ctypes.c_int64),
             _ptr(st["scratch_epoch"], ctypes.c_int32),
             _ptr(st["scratch_idx"], ctypes.c_int32),
             st["epoch"],

@@ -34,14 +34,15 @@ extern "C" {
 int points_to_voxel(
     const float* points, int64_t num_points, int64_t ndim,
     const float* voxel_size, const float* coors_range,
+    const int64_t* grid_dims,
     int32_t* coor_to_voxelidx,
     float* voxels, int32_t* coords, int32_t* num_points_per_voxel,
     int64_t max_points, int64_t max_voxels) {
-  int64_t grid[3];
-  for (int i = 0; i < 3; ++i) {
-    grid[i] = (int64_t)std::round(
-        (coors_range[3 + i] - coors_range[i]) / voxel_size[i]);
-  }
+  // grid dims come from the CALLER (who sized the scratch tables):
+  // recomputing them here with C float round once disagreed with
+  // numpy's float64 half-to-even round on exact .5 extents, making the
+  // kernel index past the python-allocated scratch.
+  const int64_t grid[3] = {grid_dims[0], grid_dims[1], grid_dims[2]};
   const int64_t nx = grid[0], ny = grid[1];
   int voxel_num = 0;
   int64_t c[3];
@@ -88,16 +89,13 @@ int points_to_voxel(
 int points_to_voxel_epoch(
     const float* points, int64_t num_points, int64_t ndim,
     const float* voxel_size, const float* coors_range,
+    const int64_t* grid_dims,
     int32_t* scratch_epoch, int32_t* scratch_idx, int32_t epoch,
     int64_t* lin_buf,
     float* voxels, int32_t* coords, int32_t* num_points_per_voxel,
     int64_t max_points, int64_t max_voxels, int32_t prev_k) {
-  int64_t grid[3];
-  for (int i = 0; i < 3; ++i) {
-    grid[i] = (int64_t)std::round(
-        (coors_range[3 + i] - coors_range[i]) / voxel_size[i]);
-  }
-  const int64_t nx = grid[0], ny = grid[1], nz = grid[2];
+  // grid dims from the caller — see points_to_voxel's note
+  const int64_t nx = grid_dims[0], ny = grid_dims[1], nz = grid_dims[2];
 
   // restore the all-zero invariant from the previous call's write set
   for (int64_t v = 0; v < prev_k; ++v) {
@@ -711,6 +709,10 @@ void anchors_area_sat(const int32_t* coors, int64_t v, int64_t c,
   std::fill(sat, sat + ny * nx, 0.f);
   for (int64_t i = 0; i < v; ++i) {
     const int64_t y = coors[i * c + 1], x = coors[i * c + 2];
+    // the caller contract is the valid [:num_voxels] slice, but a
+    // padded row (-1) or mismatched grid must not write out of bounds
+    // (the numpy twin raises; silent heap corruption is worse)
+    if (y < 0 || y >= ny || x < 0 || x >= nx) continue;
     sat[y * nx + x] += 1.f;
   }
   for (int64_t y = 0; y < ny; ++y) {

@@ -35,6 +35,24 @@ class TestVoxelize:
         np.testing.assert_array_equal(n, [3])
         np.testing.assert_allclose(v[0, :, 3], [0, 1, 2])
 
+    def test_half_extent_grid_rounding(self, rng):
+        """Grid dims with an exact .5 cell count (z extent 2.5, vz=1.0):
+        numpy's half-to-even round gives 2 — the kernel must use the
+        SAME dims as the scratch allocation (a C float round once gave
+        3 and indexed past the tables)."""
+        pts = rng.uniform(0, 4, (300, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(0, 2.5, 300)
+        vsize = [0.5, 0.5, 1.0]
+        prange = [0, 0, 0, 4, 4, 2.5]
+        cv, ccoords, cn = cc.points_to_voxel(pts, vsize, prange, 8, 400)
+        nv, ncoords, nn = np_points_to_voxel(pts, vsize, prange, 8, 400)
+        np.testing.assert_array_equal(ccoords, ncoords)
+        np.testing.assert_array_equal(cn, nn)
+        np.testing.assert_allclose(cv, nv, atol=1e-6)
+        # padded twin as well
+        pv, pc, pn, k = cc.points_to_voxel_padded(pts, vsize, prange, 8, 400)
+        np.testing.assert_array_equal(pc[:k], ncoords)
+
     def test_repeated_calls_match_oracle(self, rng):
         """The cached path reuses epoch-tagged scratch AND the write-set
         cleanup of the previous call's voxel slots; a long sequence of

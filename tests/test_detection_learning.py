@@ -6,8 +6,8 @@ test, capped this exact metric at ~20).
 
 Slow: ~12 min on CPU — gated behind RUN_SLOW=1. Recorded runs of the
 same recipe on the real TPU chip (docs/LEARNING.md): bev/3d AP@0.5 ≈
-75/72 at 800 steps on 72 held-out GT boxes, rising to ~87/88 by 4000
-steps.
+79/76 at 800 steps on 72 held-out GT boxes, rising to ~86/86 by 4000
+steps (CPU: 89/89).
 
 The val set must carry >= 41 valid GT boxes: the official 41-recall-point
 AP arithmetic (`get_thresholds` + `get_mAP`) structurally caps AP at
@@ -31,7 +31,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 STEPS = 800
-# recorded at 800 steps: TPU bev/3d = 75/72, CPU = 77/68. Floors sit well
+# recorded at 800 steps: TPU bev/3d = 79/76, CPU = 77/68. Floors sit well
 # below the healthy range but far above the ~20 plateau a systematic
 # defect produces (see docs/LEARNING.md)
 BEV_FLOOR = 65.0

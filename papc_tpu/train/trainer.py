@@ -170,6 +170,25 @@ def save_checkpoint(state: TrainState, model_dir: str, name: str, epoch: int):
     return path
 
 
+def latest_checkpoint_path(
+    name: str, model_dir: str = "./model"
+) -> str | None:
+    """Highest-epoch ``{model_dir}/{name}_<epoch>`` checkpoint, or None
+    (the save layout of :func:`save_checkpoint` / the reference's
+    ``./model/*.pdparams`` naming, ``PAPC/train.py:118-120``)."""
+    import re
+
+    best, best_epoch = None, -1
+    if not os.path.isdir(model_dir):
+        return None
+    for entry in os.listdir(model_dir):
+        m = re.fullmatch(re.escape(name) + r"_(\d+)", entry)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(model_dir, entry)
+    return best
+
+
 def restore_checkpoint(state: TrainState, path: str) -> TrainState:
     import orbax.checkpoint as ocp
 
@@ -207,6 +226,7 @@ def evaluate(
     checkpoint_path: str | None = None,
     split: str = "test",
     make_loader: Callable | None = None,
+    model_dir: str = "./model",
     log: Callable[[str], None] = print,
 ):
     """Evaluate a zoo checkpoint on a ShapeNet split (the reference has
@@ -225,10 +245,17 @@ def evaluate(
     rng = jax.random.PRNGKey(0)
     first = _as_batch_dict(spec, next(iter(loader())))
     state = create_train_state(spec, rng, first)
-    if checkpoint_path:
-        from papc_tpu.train.trainer import restore_checkpoint
-
-        state = restore_checkpoint(state, checkpoint_path)
+    if checkpoint_path is None:
+        # auto-discover the latest trainer checkpoint — silently scoring
+        # a freshly initialized model is a footgun, not an evaluation
+        checkpoint_path = latest_checkpoint_path(model_name, model_dir)
+        if checkpoint_path is None:
+            raise FileNotFoundError(
+                f"no {model_dir}/{model_name}_<epoch> checkpoint found "
+                "— train first or pass --checkpoint explicitly"
+            )
+        log(f"eval: restoring latest checkpoint {checkpoint_path}")
+    state = restore_checkpoint(state, checkpoint_path)
     _, eval_step = make_train_step(spec, num_parts)
     losses, metrics, weights = [], [], []
     for raw in loader():

@@ -114,3 +114,37 @@ def test_padded_final_batch_static_shapes(dataset):
     assert len(batches) == 2
     assert batches[0].points.shape == batches[1].points.shape
     assert batches[1].mask.sum() == 2
+
+
+def test_evaluate_auto_restores_latest(dataset, tmp_path):
+    """--evaluate without an explicit checkpoint must restore the LATEST
+    trained checkpoint, and must refuse to score random weights when no
+    checkpoint exists (regression: it silently evaluated a fresh init at
+    chance accuracy)."""
+    import pytest
+
+    from papc_tpu.train import evaluate, train
+
+    with pytest.raises(FileNotFoundError):
+        evaluate(
+            model_name="pointnet_basic", mode="clas", max_point=N_POINTS,
+            num_classes=NUM_CLASSES, batchsize=16, path=dataset,
+            model_dir=str(tmp_path / "nothing_here"), log=lambda s: None,
+        )
+
+    train(
+        model_name="pointnet_basic", mode="clas", max_point=N_POINTS,
+        num_classes=NUM_CLASSES, num_parts=NUM_PARTS, learning_rate=1e-3,
+        weight_decay=1e-4, epoch_num=3, batchsize=16, info_iter=100,
+        save_iter=2, path=dataset, model_dir=str(tmp_path / "model"),
+        log=lambda s: None,
+    )
+    logs = []
+    result = evaluate(
+        model_name="pointnet_basic", mode="clas", max_point=N_POINTS,
+        num_classes=NUM_CLASSES, batchsize=16, path=dataset,
+        model_dir=str(tmp_path / "model"), log=logs.append,
+    )
+    assert any("pointnet_basic_2" in line for line in logs)
+    # a restored trained model scores far above chance (1/NUM_CLASSES)
+    assert result["accuracy"] > 2.0 / NUM_CLASSES

@@ -414,7 +414,11 @@ def train(
 
     step = int(state.step)
     last_save = time.time()
-    t_step = time.time()
+    # relay-sound step timing: sync (force a value fetch) exactly on
+    # display steps, attribute the window to the steps inside it
+    from papc_tpu.utils.profiling import StepTimer
+
+    step_timer = StepTimer()
     from papc_tpu.data.prefetch import prefetch_to_device
     from papc_tpu.parallel.mesh import data_sharding
 
@@ -441,10 +445,14 @@ def train(
                 transform=example_to_device_batch,
                 sharding=data_sharding(mesh),
             ):
+                step_timer.start()
                 state, metrics, running = train_step(
                     state, batch, running
                 )
                 step += 1
+                steptime = step_timer.stop(
+                    metrics["loss"], sync=step % display_step == 0
+                )
                 if step % display_step == 0:
                     m = {
                         k: round(float(v), 5)
@@ -457,7 +465,7 @@ def train(
                         float(running["pr"].recall[2]), 4
                     )
                     m["step"] = step
-                    m["steptime"] = round(time.time() - t_step, 4)
+                    m["steptime"] = round(steptime, 4)
                     line = ", ".join(f"{k}={v}" for k, v in
                                      flat_nested_json_dict(m).items())
                     log(line)
@@ -465,10 +473,10 @@ def train(
                         os.path.join(model_dir, "log.txt"), "a"
                     ) as f:
                         f.write(line + "\n")
-                t_step = time.time()
                 if time.time() - last_save > save_secs:
                     _save(state, model_dir, step)
                     last_save = time.time()
+                    step_timer.discard()
                 if steps_per_eval and step % steps_per_eval == 0:
                     # periodic eval + snapshot (the reference's eval loop
                     # is commented out wholesale — train.py:278-322)
@@ -491,6 +499,7 @@ def train(
                             gt_annos, annos,
                             list(cfg.EVAL_INPUT_READER.CLASS_NAMES),
                         ))
+                    step_timer.discard()
                 if step >= total_steps:
                     break
     except Exception:

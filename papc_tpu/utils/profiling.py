@@ -4,8 +4,10 @@ The reference only accumulates wall-clock deltas
 (``detectors/pointpillars.py:39-41,400-406``, ``train.py:208-226``) —
 and does so WITHOUT accounting for async dispatch. Here:
 
-  * :class:`StepTimer` blocks on a representative output before reading
-    the clock, so measured step times are real device times;
+  * :class:`StepTimer` FORCES a value fetch on a representative output
+    before reading the clock (``block_until_ready`` does not block
+    through the axon relay — see :mod:`papc_tpu.utils.timing`), so
+    measured step times are real device times;
   * :func:`trace` wraps ``jax.profiler`` for on-demand XLA traces
     (viewable in TensorBoard / xprof).
 """
@@ -17,28 +19,62 @@ import time
 
 import jax
 
+from papc_tpu.utils.timing import force
+
 
 class StepTimer:
-    """Running average step timer that respects async dispatch."""
+    """Running average step timer that respects async dispatch.
 
-    def __init__(self):
+    A syncing ``stop`` fetches the smallest array leaf of the given
+    outputs — the only relay-sound barrier (``block_until_ready``
+    returns while work is still in flight through the axon relay). For
+    a single jitted train step that one fetch is a barrier for the
+    whole step, and for a scalar loss it costs one 4-byte transfer.
+
+    Through the relay a fetch costs a ~30 ms round trip, so forcing
+    every step roughly doubles apparent step time. ``sync_every=k``
+    amortizes: only every k-th ``stop`` forces, and the measured window
+    (first ``start`` after a sync → forcing ``stop``) is attributed
+    evenly to the steps inside it. Between-step host time inside a
+    window (data loading) is included — window averages are
+    throughput-true. Pass ``sync=True/False`` to override the policy
+    per call (e.g. sync exactly on display steps).
+    """
+
+    def __init__(self, sync_every: int = 1):
         self.total = 0.0
         self.count = 0
+        self.sync_every = sync_every
+        self.last = None  # most recent window's per-step seconds
         self._t0 = None
+        self._pending = 0
 
     def start(self):
-        self._t0 = time.perf_counter()
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
 
-    def stop(self, *block_on):
-        """Stop timing; blocks on the given arrays first."""
-        for x in block_on:
-            for leaf in jax.tree_util.tree_leaves(x):
-                if hasattr(leaf, "block_until_ready"):
-                    leaf.block_until_ready()
+    def stop(self, *block_on, sync: bool | None = None):
+        """End one step. On sync steps, force a fetch and return the
+        window's per-step seconds; otherwise return None."""
+        self._pending += 1
+        if sync is None:
+            sync = self._pending >= self.sync_every
+        if not sync:
+            return None
+        force(block_on)
         dt = time.perf_counter() - self._t0
         self.total += dt
-        self.count += 1
-        return dt
+        self.count += self._pending
+        self.last = dt / self._pending
+        self._pending = 0
+        self._t0 = None
+        return self.last
+
+    def discard(self):
+        """Drop the open window (call after eval/checkpoint pauses so
+        their wall time is not attributed to train steps)."""
+        self._pending = 0
+        self._t0 = None
 
     @property
     def avg(self) -> float:

@@ -68,6 +68,9 @@ def _load():
         os.close(fd)
         shutil.copy2(_LIB, tmp)
         lib = ctypes.CDLL(tmp)
+        # the dlopen mapping keeps the inode alive on Linux — unlink now
+        # so the fallback never leaks a temp .so per process
+        os.unlink(tmp)
         _bind(lib)
     _lib = lib
     return lib

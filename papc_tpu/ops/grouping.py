@@ -6,21 +6,14 @@ and runs a full sort. Here the "first ``nsample`` indices inside the radius"
 semantics are realized with a masked ``lax.top_k`` over negated indices — no
 sort, no host sync, identical results.
 
-Backend selection (measured on TPU v5e, 2026-08-16, median of chained
-repeats through the relay; r=0.4·σ, nsample=32):
-
-| B×N (S)          | XLA top_k | Pallas stream | speedup |
-|------------------|-----------|---------------|---------|
-| 32×1024 (512)    | 64 ms*    | 50 ms*        | 1.3×    |
-| 8×4096 (1024)    | 38 ms     | 25 ms         | 1.5×    |
-| 4×16384 (2048)   | 133 ms    | 35 ms         | 3.8×    |
-| 1×65536 (4096)   | 350 ms    | 25 ms         | 13.7×   |
-
-(*) relay-dispatch dominated — at production SSG scale the jitted train
-step measures the XLA path at well under a millisecond, so ``backend=None``
-keeps XLA below N=4096 and switches to the Pallas kernel
-(``papc_tpu.ops.pallas.ball_query``) from N≥4096, where the ``[B,S,N]``
-HBM distance matrix + top_k is the loser.
+Backend selection (fetch-forced on v5e, 2026-08-17,
+``papc_tpu.utils.timing`` K-chain slope — the round-2 "XLA wins below
+N=4096" crossover was an artifact of the broken ``block_until_ready``
+timer): the streaming Pallas kernel wins at every measured size, e.g.
+18× at the SSG SA1 production shape (B=32, N=1024, S=512, K=32:
+3.57 ms → 0.195 ms) and >10× at N=65536. ``backend=None`` selects the
+Pallas kernel whenever the default backend is TPU; the XLA
+matrix+top_k path remains as the CPU / oracle path.
 """
 
 from __future__ import annotations
@@ -31,14 +24,6 @@ from jax import lax
 
 from papc_tpu.ops.geometry import index_points, square_distance
 from papc_tpu.ops.sampling import farthest_point_sample
-
-
-# measured crossover (see module docstring table): XLA wins at small N,
-# the VMEM-resident Pallas kernel from N >= _PALLAS_MIN_N up. This is
-# the BALL-QUERY crossover — measured independently of the FPS one in
-# ops/sampling.py (they agree at 4096 by measurement, not by copy; re-
-# tune each from its own bench table).
-_PALLAS_MIN_N = 4096
 
 
 def query_ball_point(
@@ -56,10 +41,9 @@ def query_ball_point(
       nsample: neighbors per ball (static).
       xyz: ``[B, N, 3]`` all points.
       new_xyz: ``[B, S, 3]`` query centers.
-      backend: ``"xla"`` | ``"pallas"`` | None (auto: the Pallas kernel
-        on TPU for ``N >= 4096``, where the ``[B, S, N]`` HBM distance
-        matrix + top_k of the XLA path loses to the VMEM-resident
-        streaming kernel — ``papc_tpu.ops.pallas.ball_query``).
+      backend: ``"xla"`` | ``"pallas"`` | None (auto: the VMEM-resident
+        streaming Pallas kernel — ``papc_tpu.ops.pallas.ball_query`` —
+        at every size on TPU; see the module docstring measurements).
 
     Returns:
       ``[B, S, nsample]`` int32 indices. Slots beyond the in-radius count are
@@ -68,7 +52,7 @@ def query_ball_point(
     """
     N = xyz.shape[1]
     if backend is None:
-        use_pallas = N >= _PALLAS_MIN_N and jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu"
     else:
         use_pallas = backend == "pallas"
     if use_pallas:
@@ -103,12 +87,12 @@ def query_ball_point_tiled(
     blockwise treatment of the reference's O(S*N) memory pain point
     (SURVEY §5.7; reference ``pointnet2_basic_layers.py:110-117``).
 
-    When the Pallas kernel would be auto-selected it is used directly
-    over the full query set: it streams point tiles through VMEM and
-    never materializes the distance matrix, so the outer chunking would
-    only add ``lax.map`` overhead.
+    When the Pallas kernel would be auto-selected (any size on TPU) it
+    is used directly over the full query set: it streams point tiles
+    through VMEM and never materializes the distance matrix, so the
+    outer chunking would only add ``lax.map`` overhead.
     """
-    if xyz.shape[1] >= _PALLAS_MIN_N and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         return query_ball_point(radius, nsample, xyz, new_xyz)
     B, S, C = new_xyz.shape
     pad = (-S) % query_chunk

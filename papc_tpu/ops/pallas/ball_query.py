@@ -18,10 +18,14 @@ extraction loop stops when no row has an active candidate, and the outer
 tile loop stops once every row holds ``nsample`` indices (ball query
 wants the FIRST nsample by index, so a full result set is final).
 
-Semantics match the jnp path exactly (``grouping.py:20-50``): inclusive
+Semantics match the jnp path (``grouping.py``): inclusive
 ``d <= radius²`` membership, ascending first-``nsample`` indices, empty
 slots filled with the row's first hit, all-empty rows clamped to
-``N - 1`` (reference ``pointnet2_basic_layers.py:98-126``).
+``N - 1`` (reference ``pointnet2_basic_layers.py:98-126``). One caveat:
+this kernel computes distances directly as ``(q-p)²`` while the XLA
+path uses the ``-2ab+a²+b²`` matmul expansion, so membership EXACTLY at
+the radius boundary can differ by an ulp between backends; away from
+the boundary (and in every oracle test) indices match exactly.
 
 Measured numbers + the auto-selection crossover live in
 ``papc_tpu.ops.grouping`` (backend table).
@@ -136,7 +140,8 @@ def query_ball_point_pallas(
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     TN = min(512, ((N + 127) // 128) * 128)  # lane-aligned point tiles
-    TQ = 256
+    # query tile: don't pad small query sets (SA2 has S=128) up to 256
+    TQ = min(256, ((S + 127) // 128) * 128)
 
     npad = (-N) % TN
     spad = (-S) % TQ

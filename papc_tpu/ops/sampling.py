@@ -7,12 +7,20 @@ into the XLA program: the running min-distance vector stays on chip, each
 iteration is one gather + one fused elementwise pass + one argmax over
 ``[B, N]``.
 
-Backend selection (measured on v5e, 2026-08-16): the XLA loop wins at
-small N (29 µs vs 35 µs at B=32/N=1024); the Pallas kernel
-(``papc_tpu.ops.pallas.fps``) keeps coordinates + the min-distance vector
-VMEM-resident for the whole loop and wins at large N — 1.8× at N=4096,
-3.9× at N=16384, 6.5× at N=65536 (B=1: 89 ms → 13.7 ms). ``backend=None``
-auto-selects Pallas on TPU when ``N >= _PALLAS_MIN_N``.
+Backend selection (fetch-forced on v5e, 2026-08-17 — the earlier
+"XLA wins below N=4096" crossover was an artifact of the broken
+``block_until_ready`` timer): the batch-vectorized Pallas kernel
+(``papc_tpu.ops.pallas.fps``) keeps coordinates + the min-distance
+matrix VMEM-resident for the whole loop and wins at EVERY measured
+size — 2.2× at B=32/N=512, 7.5× at B=32/N=1024 (5.21 ms → 0.69 ms,
+the SSG production shape), 12.1× at N=16384. ``backend=None``
+auto-selects Pallas whenever the default backend is TPU; the XLA loop
+remains as the CPU / oracle path.
+
+On TPU the two backends can diverge at ulp-level argmax ties (~1 pick
+in 16k: XLA's fused-multiply-add rounding can separate two distances
+that are bit-equal under the kernel's — and host numpy's — rounding).
+CPU/interpret semantics match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -20,9 +28,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
-
-# measured crossover: XLA wins at N<=2048, Pallas from N=4096 up
-_PALLAS_MIN_N = 4096
 
 
 def farthest_point_sample(
@@ -42,15 +47,15 @@ def farthest_point_sample(
         ``paddle.randint`` per batch item, ``pointnet2_basic_layers.py:76``).
       start_idx: optional fixed initial index (scalar or ``[B]``); wins over
         ``key``. Defaults to 0 when neither is given (deterministic).
-      backend: ``"xla"`` | ``"pallas"`` | None (auto: Pallas on TPU for
-        ``N >= 4096`` — see module docstring for the measured crossover).
+      backend: ``"xla"`` | ``"pallas"`` | None (auto: Pallas on TPU at
+        every size — see module docstring for measurements).
 
     Returns:
       ``[B, npoint]`` int32 indices into ``N``.
     """
     B, N, _ = xyz.shape
     if backend is None:
-        use_pallas = N >= _PALLAS_MIN_N and jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu"
     else:
         use_pallas = backend == "pallas"
     if use_pallas:

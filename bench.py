@@ -7,6 +7,16 @@ root ``train.py:5-16``). ``extra`` carries the other BASELINE.md metrics:
 PointNet++ SSG epoch time (synthetic ShapeNet-sized epoch) and pillarize
 ms/frame (full-KITTI-scale cloud through the native voxelizer).
 
+Measurement discipline (round 3): every DEVICE number comes from
+``papc_tpu.utils.timing.fetch_forced_time`` — K chained steps, a forced
+value fetch, per-step time from the K-slope. ``block_until_ready`` does
+NOT block through this image's TPU relay, so the round-1/2 numbers
+measured with it were dispatch-rate artifacts (the recorded step_ms
+implied 190% of chip peak). Device rows now carry an ``mfu`` where XLA's
+cost model gives FLOPs, and :func:`papc_tpu.utils.timing.check_physical`
+REFUSES to print any number above chip peak. Host rows (pillarize, cc
+kernels) are plain wall-clock over host calls, as before.
+
 Baseline: the reference publishes no numbers and cannot run here
 (Paddle+CUDA). BASELINE.md documents a ~65k points/sec lower-bound
 estimate for the CUDA-Paddle reference: its FPS alone serializes
@@ -25,21 +35,19 @@ B, N = 32, 1024
 SHAPENET_TRAIN_SAMPLES = 12137  # 6 train shards of the ShapeNet h5 set
 
 
-def _median_time(fn, block, steps=20, repeats=3):
-    """Best (min) of per-repeat mean step times. The relay's congestion
-    varies minute to minute and inflates whole windows at once; the
-    fastest sustained window is the closest estimate of steady-state
-    device capability, and it is far more stable across rounds than a
-    median that averages congested windows in."""
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(steps):
-            out = fn()
-        block(out)
-        times.append((time.perf_counter() - t0) / steps)
-    return float(np.min(times))
+def _device_time(step, *, ks=(10, 40), repeats=3, flops=None, label=""):
+    """Fetch-forced K-slope per-step seconds + MFU, physics-checked.
+
+    Returns ``(seconds, mfu_or_None)``; raises if the implied FLOP rate
+    exceeds chip peak (a broken timer must never enter the record).
+    """
+    from papc_tpu.utils.timing import check_physical, fetch_forced_time
+
+    res = fetch_forced_time(
+        step, k_small=ks[0], k_large=ks[1], repeats=repeats
+    )
+    mfu = check_physical(res.step_s, flops, label) if flops else None
+    return res.step_s, mfu
 
 
 def bench_train_step(precision="fp32"):
@@ -48,6 +56,7 @@ def bench_train_step(precision="fp32"):
 
     from papc_tpu.models import init_model
     from papc_tpu.train.trainer import create_train_state, make_train_step
+    from papc_tpu.utils.timing import compiled_flops
 
     spec = init_model("pointnet2_ssg", "clas", num_classes=16)
     rs = np.random.RandomState(0)
@@ -67,10 +76,10 @@ def bench_train_step(precision="fp32"):
         holder["state"] = s
         return loss
 
-    # warmup / compile
-    step().block_until_ready()
-    dt = _median_time(step, lambda x: x.block_until_ready())
-    return dt
+    flops = compiled_flops(train_step, holder["state"], batch, rng)
+    return _device_time(
+        step, flops=flops, label=f"ssg_train_{precision}"
+    ) + (flops,)
 
 
 def _kitti_cloud(n=120000):
@@ -97,7 +106,7 @@ def bench_pillarize():
     (reference numba claim: ~4.2 ms kernel-only,
     ``point_cloud_ops.py:113-115``). Returns (production_s, kernel_s):
     production includes the caller-owned padded output allocation; kernel
-    is the amortized in-place path."""
+    is the amortized in-place path. HOST wall-clock (sound: no device)."""
     pts = _kitti_cloud()
     from papc_tpu import cc
     from papc_tpu.detect.voxelize_np import points_to_voxel
@@ -134,17 +143,18 @@ def bench_device_pillarize():
             p, m, tuple(vsize), tuple(prange), grid, max_points,
             max_voxels,
         )
-        return out.voxels, out.num_points, out.coords
+        # chain: zero-valued perturbation keeps successive calls data-
+        # dependent (un-chained identical dispatches mis-report)
+        return out.voxels, p + (out.num_points.sum() * 0).astype(p.dtype)
 
-    pj = jnp.asarray(pts)
+    holder = {"p": jnp.asarray(pts)}
     mj = jnp.ones((len(pts),), bool)
-    v, n, c = pillarize(pj, mj)
-    v.block_until_ready()
 
     def step():
-        return pillarize(pj, mj)[0]
+        v, holder["p"] = pillarize(holder["p"], mj)
+        return v
 
-    return _median_time(step, lambda x: x.block_until_ready(), steps=10)
+    return _device_time(step, ks=(5, 20))[0]
 
 
 def bench_pointpillars_step(precision="fp32", measure_infer=True):
@@ -160,6 +170,7 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
     )
     from papc_tpu.detect.train import make_detection_train_step
     from papc_tpu.train.trainer import TrainState
+    from papc_tpu.utils.timing import compiled_flops
 
     cfg = cfg_from_yaml_file(DEFAULT_CONFIG_PATH)
     vg = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
@@ -222,13 +233,16 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
         holder["s"], holder["rm"] = s, rm
         return m["loss"]
 
-    step().block_until_ready()
-    train_t = _median_time(
-        step, lambda x: x.block_until_ready(), steps=30, repeats=5
+    flops = compiled_flops(
+        train_step, holder["s"], batch, holder["rm"]
+    )
+    train_t, train_mfu = _device_time(
+        step, ks=(5, 20), flops=flops,
+        label=f"pointpillars_{precision}",
     )
 
     if not measure_infer:  # skip the predict compile (bf16 rerun)
-        return train_t, None
+        return train_t, train_mfu, None
 
     # inference: decode -> score threshold -> top-k -> rotated NMS@1000
     from papc_tpu.detect.train import make_predict_step
@@ -241,17 +255,14 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
     def istep():
         return predict_step(holder["s"], infer_batch)["scores"]
 
-    istep().block_until_ready()
-    infer_t = _median_time(
-        istep, lambda x: x.block_until_ready(), steps=30, repeats=5
-    )
-    return train_t, infer_t / Bd
+    infer_t, _ = _device_time(istep, ks=(5, 20))
+    return train_t, train_mfu, infer_t / Bd
 
 
 def bench_fps_large_n():
     """FPS at large N (B=4, N=16384, npoint=2048): XLA fori_loop vs the
-    VMEM-resident Pallas kernel — the backend-selection evidence
-    (papc_tpu/ops/sampling.py crossover table)."""
+    batch-vectorized VMEM-resident Pallas kernel (auto-selected on TPU;
+    crossover evidence in papc_tpu/ops/pallas/fps.py)."""
     import functools
 
     import jax
@@ -270,23 +281,18 @@ def bench_fps_large_n():
             backend=backend,
         )
 
-        # chain each call through the previous result (zero-valued
-        # perturbation): un-chained repeats of identical calls
-        # under-report through the axon relay (CLAUDE.md gotcha)
         @jax.jit
         def chained(x):
             idx = base(x)
             return idx, x + (idx.sum() * 0).astype(x.dtype)
 
-        idx, x = chained(xyz)
-        np.asarray(idx)
-        reps = 5
-        t0 = time.perf_counter()
-        x = xyz
-        for _ in range(reps):
-            idx, x = chained(x)
-        np.asarray(idx)
-        out[backend] = (time.perf_counter() - t0) / reps
+        holder = {"x": xyz}
+
+        def step():
+            idx, holder["x"] = chained(holder["x"])
+            return idx
+
+        out[backend] = _device_time(step, ks=(3, 12))[0]
     return out
 
 
@@ -315,15 +321,13 @@ def bench_ball_query_large_n():
             idx = base(x, qq)
             return idx, x + (idx.sum() * 0).astype(x.dtype)
 
-        idx, x = chained(xyz, q)
-        np.asarray(idx)
-        reps = 5
-        t0 = time.perf_counter()
-        x = xyz
-        for _ in range(reps):
-            idx, x = chained(x, q)
-        np.asarray(idx)
-        out[backend] = (time.perf_counter() - t0) / reps
+        holder = {"x": xyz}
+
+        def step():
+            idx, holder["x"] = chained(holder["x"], q)
+            return idx
+
+        out[backend] = _device_time(step, ks=(3, 12))[0]
     return out
 
 
@@ -355,15 +359,10 @@ def bench_rotated_iou():
     a, b = boxes(128), boxes(128)
     aj, bj = jnp.asarray(a), jnp.asarray(b)
 
-    # chain calls through the input (CLAUDE.md relay gotcha: un-chained
-    # identical dispatches mis-report badly inside a heavy process)
     @jax.jit
     def dev(x, y):
         out = rotate_iou(x, y)
         return out, x + (out.sum() * 0).astype(x.dtype)
-
-    o, x = dev(aj, bj)
-    o.block_until_ready()
 
     holder = {"x": aj}
 
@@ -371,9 +370,7 @@ def bench_rotated_iou():
         o, holder["x"] = dev(holder["x"], bj)
         return o
 
-    t_dev = _median_time(
-        step, lambda x: x.block_until_ready(), steps=20
-    )
+    t_dev = _device_time(step)[0]
     cc.rbbox_iou(a, b)
     t0 = time.perf_counter()
     for _ in range(20):
@@ -389,17 +386,26 @@ def main():
 
     enable_persistent_cache()
 
+    import sys
+
+    t_start = time.time()
+
     def safe(fn, *a, default=None, **k):
         """A failed/slow EXTRA must not cost the headline JSON line.
         Diagnostics go to stderr — stdout carries ONE JSON line."""
-        import sys
-
+        print(
+            f"# [{time.time() - t_start:6.0f}s] bench stage {fn.__name__}"
+            f"{' ' + str(k) if k else ''}",
+            file=sys.stderr,
+            flush=True,
+        )
         try:
             return fn(*a, **k)
         except Exception as e:  # noqa: BLE001
             print(
                 f"# bench stage {fn.__name__} skipped: {e!r}",
                 file=sys.stderr,
+                flush=True,
             )
             return default
 
@@ -409,17 +415,25 @@ def main():
     riou = safe(bench_rotated_iou, default=(None, None))
     device_pillarize_s = safe(bench_device_pillarize)
 
-    step_time = bench_train_step()  # headline — no fallback
+    print(
+        f"# [{time.time() - t_start:6.0f}s] bench stage bench_train_step"
+        " (headline)",
+        file=sys.stderr,
+        flush=True,
+    )
+    step_time, step_mfu, step_flops = bench_train_step()  # headline
     pts_per_sec = B * N / step_time
     epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
-    step_time_bf16 = safe(bench_train_step, precision="bf16")
-    pp_step, pp_infer = safe(
-        bench_pointpillars_step, default=(None, None)
-    )
-    pp_step_bf16, _ = safe(
+    bf16 = safe(bench_train_step, precision="bf16",
+                default=(None, None, None))
+    step_time_bf16, step_mfu_bf16, _ = bf16
+    pp = safe(bench_pointpillars_step, default=(None, None, None))
+    pp_step, pp_mfu, pp_infer = pp
+    pp_bf16 = safe(
         bench_pointpillars_step, precision="bf16", measure_infer=False,
-        default=(None, None),
+        default=(None, None, None),
     )
+    pp_step_bf16, pp_mfu_bf16, _ = pp_bf16
     pillarize_s, pillarize_kernel_s = safe(
         bench_pillarize, default=(None, None)
     )
@@ -430,8 +444,9 @@ def main():
     def ms(x, nd=3):
         return round(x * 1e3, nd) if x is not None else None
 
-    pillarize_ms = ms(pillarize_s)
-    device_pillarize_ms = ms(device_pillarize_s)
+    def pct(x):
+        return round(x * 100, 2) if x is not None else None
+
     print(
         json.dumps(
             {
@@ -445,16 +460,28 @@ def main():
                     "model": "pointnet2_ssg",
                     "batch": B,
                     "points": N,
+                    "timing_method": (
+                        "fetch-forced K-chain slope "
+                        "(papc_tpu.utils.timing; block_until_ready "
+                        "does not block through the relay)"
+                    ),
                     "step_ms": ms(step_time),
+                    "step_mfu_pct": pct(step_mfu),
+                    "step_flops": step_flops,
                     "step_ms_bf16": ms(step_time_bf16),
+                    "step_bf16_mfu_pct": pct(step_mfu_bf16),
                     "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
-                    "pillarize_ms_per_frame": pillarize_ms,
+                    "pillarize_ms_per_frame": ms(pillarize_s),
                     "pillarize_kernel_ms_per_frame": ms(
                         pillarize_kernel_s
                     ),
-                    "device_pillarize_ms_per_frame": device_pillarize_ms,
+                    "device_pillarize_ms_per_frame": ms(
+                        device_pillarize_s
+                    ),
                     "pointpillars_step_ms": ms(pp_step),
+                    "pointpillars_step_mfu_pct": pct(pp_mfu),
                     "pointpillars_step_ms_bf16": ms(pp_step_bf16),
+                    "pointpillars_bf16_mfu_pct": pct(pp_mfu_bf16),
                     "pointpillars_infer_ms_per_frame": ms(pp_infer),
                     "fps_16k_xla_ms": ms(fps_large.get("xla"), 2),
                     "fps_16k_pallas_ms": ms(fps_large.get("pallas"), 2),

@@ -781,7 +781,14 @@ int64_t iou2d_assign(const float* boxes, int64_t n, const float* qboxes,
   nt = std::max<int64_t>(1, std::min<int64_t>(nt, 8));
   if (num_threads <= 0 && n * k < 200000) nt = 1;
 
-  auto pass1 = [&](int64_t i0, int64_t i1, float* cm) {
+  // Force-match ties are found WITHOUT recomputing IoUs: pass 1 records,
+  // per GT, every (anchor, v) whose v matched the running column max (a
+  // ~log(n)-sized candidate list); the final filter compares those
+  // RECORDED values against the merged col_max. Robust by construction —
+  // a recompute-and-float-compare second pass would silently drop
+  // anchors if the two loops compiled to different FP contractions.
+  using Cand = std::vector<std::vector<std::pair<int32_t, float>>>;
+  auto pass1 = [&](int64_t i0, int64_t i1, float* cm, Cand* cand) {
     for (int64_t i = i0; i < i1; ++i) {
       const float* b = boxes + i * 4;
       const double barea =
@@ -795,61 +802,41 @@ int64_t iou2d_assign(const float* boxes, int64_t n, const float* qboxes,
           bm = v;
           barg = (int32_t)j;
         }
-        if (v > cm[j]) cm[j] = v;
+        if (v > 0.f && v >= cm[j]) {
+          cm[j] = v;
+          (*cand)[j].emplace_back((int32_t)i, v);
+        }
       }
       row_max[i] = bm;
       row_argmax[i] = barg;
     }
   };
-  auto pass2 = [&](int64_t i0, int64_t i1, std::vector<int32_t>* out) {
-    for (int64_t i = i0; i < i1; ++i) {
-      const float* b = boxes + i * 4;
-      const double barea =
-          ((double)b[2] - b[0] + eps) * ((double)b[3] - b[1] + eps);
-      for (int64_t j = 0; j < k; ++j) {
-        if (col_max[j] <= 0.f) continue;  // zero-overlap GT: no match
-        const float v =
-            iou2d_one(b, qboxes + j * 4, qarea[j], barea, eps);
-        if (v == col_max[j]) {
-          out->push_back((int32_t)i);
-          break;
-        }
-      }
-    }
-  };
 
-  if (nt == 1) {
-    pass1(0, n, col_max);
-    std::vector<int32_t> f;
-    pass2(0, n, &f);
-    std::copy(f.begin(), f.end(), force_anchors);
-    return (int64_t)f.size();
-  }
-  const int64_t chunk = (n + nt - 1) / nt;
+  const int64_t chunk = nt == 1 ? n : (n + nt - 1) / nt;
   std::vector<std::vector<float>> cms(nt, std::vector<float>(k, 0.f));
-  {
+  std::vector<Cand> cands(nt, Cand(k));
+  if (nt == 1) {
+    pass1(0, n, cms[0].data(), &cands[0]);
+  } else {
     std::vector<std::thread> ts;
     for (int64_t t = 0; t < nt; ++t)
       ts.emplace_back(pass1, t * chunk, std::min(n, (t + 1) * chunk),
-                      cms[t].data());
+                      cms[t].data(), &cands[t]);
     for (auto& t : ts) t.join();
   }
   for (int64_t t = 0; t < nt; ++t)
     for (int64_t j = 0; j < k; ++j)
       if (cms[t][j] > col_max[j]) col_max[j] = cms[t][j];
-  std::vector<std::vector<int32_t>> fs(nt);
-  {
-    std::vector<std::thread> ts;
-    for (int64_t t = 0; t < nt; ++t)
-      ts.emplace_back(pass2, t * chunk, std::min(n, (t + 1) * chunk),
-                      &fs[t]);
-    for (auto& t : ts) t.join();
-  }
+  // mark every anchor whose recorded v equals the global column max,
+  // then emit ascending — identical to the old anchor-major emission
+  std::vector<uint8_t> forced(n, 0);
+  for (int64_t t = 0; t < nt; ++t)
+    for (int64_t j = 0; j < k; ++j)
+      for (const auto& iv : cands[t][j])
+        if (iv.second == col_max[j]) forced[iv.first] = 1;
   int64_t cnt = 0;
-  for (int64_t t = 0; t < nt; ++t) {
-    std::copy(fs[t].begin(), fs[t].end(), force_anchors + cnt);
-    cnt += (int64_t)fs[t].size();
-  }
+  for (int64_t i = 0; i < n; ++i)
+    if (forced[i]) force_anchors[cnt++] = (int32_t)i;
   return cnt;
 }
 

@@ -221,6 +221,12 @@ def build_predict_config(cfg, target_assigner) -> PredictConfig:
             cfg.MODEL.BACKBONE.get("use_direction_classifier", True)
         ),
         use_rotate_nms=bool(pp.use_rotate_nms),
+        # reference exposes this under two spellings: PREDICT.multiclass_nms
+        # (pointpillars_kitti_car_xy16.yaml:126, the one the detector reads)
+        # and POST_PROCESSING.use_multi_class_nms (:93); accept both
+        multiclass_nms=bool(
+            pp.get("multiclass_nms", pp.get("use_multi_class_nms", False))
+        ),
         nms_pre_max_size=int(pp.nms_pre_max_size),
         nms_post_max_size=int(pp.nms_post_max_size),
         nms_score_threshold=float(pp.nms_score_threshold),

@@ -196,6 +196,7 @@ class PredictConfig:
     encode_background_as_zeros: bool = True
     use_direction_classifier: bool = True
     use_rotate_nms: bool = True
+    multiclass_nms: bool = False
     nms_pre_max_size: int = 1000
     nms_post_max_size: int = 300
     nms_score_threshold: float = 0.15
@@ -203,18 +204,15 @@ class PredictConfig:
     box_code_size: int = 7
 
 
-def predict(
+def decode_raw(
     preds: dict,
     anchors: jax.Array,  # [B, A, 7]
-    decode_fn: Callable,  # (encodings, anchors) -> boxes7, jnp
+    decode_fn: Callable,
     cfg: PredictConfig,
-    anchors_mask: jax.Array | None = None,  # [B, A] bool
 ):
-    """Batched post-processing → fixed-size detections.
-
-    Returns dict of ``box3d_lidar [B, post, 7]``, ``scores [B, post]``,
-    ``label_preds [B, post]``, ``valid [B, post]`` (all static shapes).
-    """
+    """Shared head of both NMS paths: decoded boxes ``[B, A, 7]``,
+    per-class sigmoid scores ``[B, A, num_class]``, direction labels
+    ``[B, A]`` (reference ``detectors/pointpillars.py:236-268``)."""
     B, A = anchors.shape[:2]
     box_preds = preds["box_preds"].reshape(B, A, cfg.box_code_size)
     ncls = (
@@ -236,6 +234,25 @@ def predict(
         )
     else:
         dir_labels = jnp.zeros((B, A), jnp.int32)
+    return boxes, total_scores, dir_labels
+
+
+def predict(
+    preds: dict,
+    anchors: jax.Array,  # [B, A, 7]
+    decode_fn: Callable,  # (encodings, anchors) -> boxes7, jnp
+    cfg: PredictConfig,
+    anchors_mask: jax.Array | None = None,  # [B, A] bool
+):
+    """Batched post-processing → fixed-size detections.
+
+    Returns dict of ``box3d_lidar [B, post, 7]``, ``scores [B, post]``,
+    ``label_preds [B, post]``, ``valid [B, post]`` (all static shapes).
+    """
+    B, A = anchors.shape[:2]
+    boxes, total_scores, dir_labels = decode_raw(
+        preds, anchors, decode_fn, cfg
+    )
 
     top_scores = jnp.max(total_scores, axis=-1)  # [B, A]
     top_labels = jnp.argmax(total_scores, axis=-1)
@@ -295,4 +312,85 @@ def predict(
         "scores": s,
         "label_preds": lab,
         "valid": v,
+    }
+
+
+def predict_multiclass(
+    boxes,
+    total_scores,
+    dir_labels,
+    cfg: PredictConfig,
+    anchors_mask=None,
+):
+    """Host-side per-class NMS — the reference's ``multiclass_nms``
+    predict branch (``detectors/pointpillars.py:279-316``), selected by
+    the ``PREDICT.multiclass_nms`` config key (reference yaml
+    ``pointpillars_kitti_car_xy16.yaml:126``).
+
+    Args are numpy (or np-convertible): ``boxes [B, A, 7]`` decoded,
+    ``total_scores [B, A, num_class]``, ``dir_labels [B, A]``. Per class
+    the shared class-agnostic BEV boxes are NMS'd with the native C++
+    kernels (:mod:`papc_tpu.detect.nms_extra`); selections concatenate
+    in class order like the reference, then pad to the static
+    ``[B, post_max_size]`` layout of :func:`predict` so downstream
+    (kitti annos) is path-agnostic.
+    """
+    import numpy as np
+
+    from papc_tpu.detect.nms_extra import multiclass_nms, standard_nms_func
+
+    boxes = np.asarray(boxes)
+    total_scores = np.asarray(total_scores)
+    dir_labels = np.asarray(dir_labels)
+    B, A = boxes.shape[:2]
+    P = cfg.nms_post_max_size
+    nms_func = standard_nms_func(rotated=cfg.use_rotate_nms)
+    out_boxes = np.zeros((B, P, boxes.shape[-1]), np.float32)
+    out_scores = np.zeros((B, P), np.float32)
+    out_labels = np.zeros((B, P), np.int32)
+    out_valid = np.zeros((B, P), bool)
+    for b in range(B):
+        scores_b = total_scores[b]
+        if anchors_mask is not None:
+            scores_b = np.where(
+                np.asarray(anchors_mask)[b][:, None], scores_b, 0.0
+            )
+        bev = boxes[b][:, [0, 1, 3, 4, 6]]
+        selected_per_class = multiclass_nms(
+            nms_func,
+            bev[:, None, :],
+            scores_b,
+            pre_max_size=cfg.nms_pre_max_size,
+            post_max_size=cfg.nms_post_max_size,
+            score_thresh=cfg.nms_score_threshold,
+            iou_threshold=cfg.nms_iou_threshold,
+        )
+        sel_b, sel_s, sel_l, sel_d = [], [], [], []
+        for class_idx, selected in enumerate(selected_per_class):
+            if selected is None or len(selected) == 0:
+                continue
+            sel_b.append(boxes[b][selected])
+            sel_s.append(scores_b[selected, class_idx])
+            sel_l.append(np.full(len(selected), class_idx, np.int32))
+            sel_d.append(dir_labels[b][selected])
+        if not sel_b:
+            continue
+        cb = np.concatenate(sel_b)[:P]
+        cs = np.concatenate(sel_s)[:P]
+        cl = np.concatenate(sel_l)[:P]
+        cd = np.concatenate(sel_d)[:P]
+        if cfg.use_direction_classifier:
+            # opposite-direction fix, identical to the jitted path
+            opp = (cb[:, -1] > 0) ^ cd.astype(bool)
+            cb[:, -1] += np.where(opp, np.pi, 0.0)
+        n = len(cb)
+        out_boxes[b, :n] = cb
+        out_scores[b, :n] = cs
+        out_labels[b, :n] = cl
+        out_valid[b, :n] = True
+    return {
+        "box3d_lidar": out_boxes,
+        "scores": out_scores,
+        "label_preds": out_labels,
+        "valid": out_valid,
     }

@@ -186,8 +186,7 @@ def make_detection_train_step(
 
 
 def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
-    @jax.jit
-    def predict_step(state: TrainState, batch: dict):
+    def _apply(state: TrainState, batch: dict):
         if pillarize is not None:
             voxels, num_points, coords = pillarize(batch)
         else:
@@ -195,13 +194,40 @@ def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
                 batch["voxels"], batch["num_points"],
                 batch["coordinates"],
             )
-        preds = model.apply(
+        return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             voxels,
             num_points,
             coords,
             train=False,
         )
+
+    if predict_cfg.multiclass_nms:
+        # reference's multiclass branch (detectors/pointpillars.py:279-316,
+        # selected by yaml PREDICT.multiclass_nms): network + decode run
+        # jitted on device, the ragged per-class NMS runs on host via the
+        # native C++ kernels, padded back to the static [B, post] layout
+        from papc_tpu.detect.detector import decode_raw, predict_multiclass
+
+        @jax.jit
+        def raw_step(state: TrainState, batch: dict):
+            preds = _apply(state, batch)
+            return decode_raw(
+                preds, batch["anchors"], box_coder.decode_jnp, predict_cfg
+            )
+
+        def predict_step(state: TrainState, batch: dict):
+            boxes, scores, dirs = raw_step(state, batch)
+            return predict_multiclass(
+                boxes, scores, dirs, predict_cfg,
+                anchors_mask=batch.get("anchors_mask"),
+            )
+
+        return predict_step
+
+    @jax.jit
+    def predict_step(state: TrainState, batch: dict):
+        preds = _apply(state, batch)
         return predict(
             preds,
             batch["anchors"],

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from papc_tpu.detect import losses as L
 from papc_tpu.ops.iou import box5_to_corners
-from papc_tpu.ops.nms import greedy_suppress, iou_2d, rotate_iou
+from papc_tpu.ops.nms import greedy_suppress, iou_2d, rotate_nms
 
 
 def prepare_loss_weights(
@@ -271,9 +271,9 @@ def predict(
         ok = top_s > 0
         bev = b[:, jnp.asarray([0, 1, 3, 4, 6])]
         if cfg.use_rotate_nms:
-            keep = greedy_suppress(
-                rotate_iou(bev, bev), ok, cfg.nms_iou_threshold
-            )
+            # auto-dispatches to the fused matrix-free Pallas sweep on
+            # TPU (papc_tpu.ops.pallas.nms.rotate_nms_pallas)
+            keep = rotate_nms(bev, ok, cfg.nms_iou_threshold)
         else:
             corners = box5_to_corners(bev)
             standup = jnp.concatenate(

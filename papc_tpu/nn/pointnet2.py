@@ -52,8 +52,8 @@ class SetAbstraction(nn.Module):
             new_xyz, grouped = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, points
             )
-        feat = PointMLP(self.mlp)(grouped, train)  # [B, S, K, C']
-        new_points = jnp.max(feat, axis=2)  # [B, S, C']
+        # fused Dense→BN→ReLU stack + max over K (Pallas on TPU)
+        new_points = PointMLP(self.mlp, pool_max=True)(grouped, train)
         return new_xyz, new_points
 
 
@@ -86,8 +86,9 @@ class SetAbstractionMsg(nn.Module):
                 grouped = jnp.concatenate([grouped_points, grouped_xyz], -1)
             else:
                 grouped = grouped_xyz
-            feat = PointMLP(self.mlp_list[i])(grouped, train)
-            outs.append(jnp.max(feat, axis=2))  # [B, S, C_i]
+            outs.append(
+                PointMLP(self.mlp_list[i], pool_max=True)(grouped, train)
+            )  # [B, S, C_i]
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -1,0 +1,378 @@
+"""Fused grouped MLP+BN+ReLU+max block — the PointNet++ SA hot path.
+
+Orchestrates the Pallas linear-pass kernels in
+:mod:`papc_tpu.ops.pallas.samlp` behind one differentiable function,
+with a numerics-mirroring pure-jnp twin (``impl='jnp'``) used as the
+test oracle. See the kernel module docstring for the design; the short
+version: the op-by-op XLA program materializes every BN pre-activation,
+stats pass, and normalized copy to HBM (~15 GB/step for PointNet++ SSG
+at B=32/N=1024 — measured at its own 18 ms HBM roofline in round 3),
+while these passes keep each tile's layer chain in VMEM and store only
+bf16 pre-activations between launches.
+
+Gradient semantics: the custom VJP implements the analytic BatchNorm
+backward (batch statistics treated as functions of the input, exactly
+like autodiff of ``flax.linen.BatchNorm``); the max-over-K backward
+routes the cotangent to the FIRST argmax element (XLA's ``jnp.max`` VJP
+splits evenly among exact ties — ties are measure-zero for real
+activations except all-negative groups, where both conventions yield
+zero through the ReLU gate). The batch mean/var outputs carry no
+gradient (they only feed the stop-gradient running-stat update, as in
+flax). Intermediate activations are stored bfloat16; statistics and
+accumulators are fp32.
+
+Reference parity: this computes the same function as
+``PointNetSetAbstraction``'s Conv2D/BN/ReLU stack + max
+(``pointnet2_basic_layers.py:194-221``) in channel-last layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from papc_tpu.ops.pallas import samlp
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+
+def supported(shape, features) -> bool:
+    """Whether the fused kernels handle this workload: a 4-D grouped
+    tensor ``[B, S, K, C]`` with enough rows to amortize the passes."""
+    if len(shape) != 4 or len(features) < 1:
+        return False
+    b, s, k, _ = shape
+    return b * s * k >= 4096
+
+
+# Test/experiment override: ``with override(enable=True, impl='jnp')``
+# forces the fused path on any backend (layers.PointMLP consults
+# :func:`enabled` / :func:`call_opts`). ``enable=None`` = default gate.
+_OVERRIDE = {"enable": None, "impl": "pallas", "interpret": False}
+
+
+class override:
+    def __init__(self, enable=None, impl="pallas", interpret=False):
+        self._new = {"enable": enable, "impl": impl,
+                     "interpret": interpret}
+
+    def __enter__(self):
+        self._old = dict(_OVERRIDE)
+        _OVERRIDE.update(self._new)
+        return self
+
+    def __exit__(self, *exc):
+        _OVERRIDE.update(self._old)
+
+
+def enabled(shape, features) -> bool:
+    """The PointMLP dispatch gate (honors :class:`override`).
+
+    Default OFF: on-chip A/B (round 3) measured the multi-pass fused
+    block slower than the classic XLA path at SA shapes (per-grid-step
+    overhead dominates at VMEM-fitting tile sizes) — opt in via
+    ``override(enable=True)`` until it wins.
+    """
+    if _OVERRIDE["enable"] is not None:
+        return bool(_OVERRIDE["enable"]) and supported(shape, features)
+    return False
+
+
+def call_opts() -> dict:
+    """impl/interpret kwargs for :func:`fused_mlp_max` (override-aware)."""
+    return {"impl": _OVERRIDE["impl"],
+            "interpret": _OVERRIDE["interpret"]}
+
+
+def _bn_vectors(sums, gamma, beta, m, eps):
+    """Per-layer BN affine from accumulated (Σa, Σa²): returns
+    ``vec [4, C] = (scale, shift, mean, inv_std)`` and (mean, var)
+    with flax's biased fast variance, clipped at 0."""
+    mean = sums[0] / m
+    var = jnp.maximum(sums[1] / m - mean * mean, 0.0)
+    inv_std = lax.rsqrt(var + eps)
+    scale = gamma.astype(_F32) * inv_std
+    shift = beta.astype(_F32) - mean * scale
+    return jnp.stack([scale, shift, mean, inv_std]), (mean, var)
+
+
+# ---------------------------------------------------------------- twins
+# jnp functions mirroring each kernel's arithmetic exactly (bf16
+# storage, f32 accumulation) — the oracle the Pallas passes are tested
+# against, and the reference for what the kernels compute.
+
+def _dot(x, w, sdtype=_BF16):
+    """Twin of the kernels' matmul: bf16-input dots when the storage
+    dtype is bf16 (mirrors the Pallas arithmetic and the MXU's DEFAULT
+    precision); true-f32 dots when ``sdtype`` is f32 (used by tests to
+    isolate backward-math correctness from matmul precision)."""
+    d = _BF16 if sdtype == _BF16 else _F32
+    return lax.dot_general(
+        x.astype(d), w.astype(d),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    )
+
+
+def _jnp_linear_stats(x, vec, w, b, *, sdtype=_BF16):
+    xf = x.astype(_F32)
+    if vec is not None:
+        xf = jnp.maximum(xf * vec[0] + vec[1], 0.0)
+    a = _dot(xf, w, sdtype) + b.astype(_F32)
+    sums = jnp.stack([jnp.sum(a, axis=0), jnp.sum(a * a, axis=0)])
+    return a.astype(sdtype), sums
+
+
+def _jnp_finalize_max(a, vec, *, k):
+    m, c = a.shape
+    h = jnp.maximum(a.astype(_F32) * vec[0] + vec[1], 0.0)
+    h = h.reshape(m // k, k, c)
+    mx = jnp.max(h, axis=1)
+    kio = lax.broadcasted_iota(jnp.int32, (m // k, k, c), 1)
+    amax = jnp.min(jnp.where(h == mx[:, None, :], kio, k), axis=1)
+    return mx, amax.astype(jnp.int32)
+
+
+def _jnp_eval_mlp_max(x, vecs, ws, bs, *, k):
+    xf = x.astype(_F32)
+    for vec, w, b in zip(vecs, ws, bs):
+        a = _dot(xf, w, x.dtype) + b.astype(_F32)
+        xf = jnp.maximum(a * vec[0] + vec[1], 0.0)
+    m, c = xf.shape
+    return jnp.max(xf.reshape(m // k, k, c), axis=1)
+
+
+def _jnp_bwd_seed(a, vec, dout, amax, *, k, sdtype=_BF16):
+    m, c = a.shape
+    af = a.astype(_F32)
+    o = af * vec[0] + vec[1]
+    kio = lax.broadcasted_iota(jnp.int32, (m // k, k, c), 1)
+    dh = jnp.where(
+        kio == amax[:, None, :], dout.astype(_F32)[:, None, :], 0.0
+    ).reshape(m, c)
+    dy = jnp.where(o > 0, dh, 0.0)
+    xhat = (af - vec[2]) * vec[3]
+    s = jnp.stack([jnp.sum(dy, axis=0), jnp.sum(dy * xhat, axis=0)])
+    return dy.astype(sdtype), s
+
+
+def _jnp_bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *,
+                   sdtype=_BF16):
+    m = dy.shape[0]
+    dyf = dy.astype(_F32)
+    af = a.astype(_F32)
+    xhat = (af - vec[2]) * vec[3]
+    da = vec[0] * (dyf - s_in[0] / m - xhat * s_in[1] / m)
+    apf = a_prev.astype(_F32)
+    if vec_prev is None:
+        h_prev = apf
+    else:
+        h_prev = jnp.maximum(apf * vec_prev[0] + vec_prev[1], 0.0)
+    d = _BF16 if sdtype == _BF16 else _F32
+    dab = da.astype(d)
+    dw = lax.dot_general(
+        h_prev.astype(d), dab,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    )
+    db = jnp.sum(da, axis=0, keepdims=True)
+    dhp = lax.dot_general(
+        dab, w.astype(d),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    )
+    if vec_prev is None:
+        return dhp, dw, db, None
+    op = apf * vec_prev[0] + vec_prev[1]
+    dyp = jnp.where(op > 0, dhp, 0.0)
+    xhatp = (apf - vec_prev[2]) * vec_prev[3]
+    s = jnp.stack(
+        [jnp.sum(dyp, axis=0), jnp.sum(dyp * xhatp, axis=0)]
+    )
+    return dyp.astype(sdtype), dw, db, s
+
+
+# ---------------------------------------------------------- orchestration
+
+def _fwd_passes(g2, params, *, k, eps, tm, impl, sdtype, interpret):
+    """Training forward: linear+stats pass per layer, finalize+max.
+
+    Returns ``(out2 [M//k, C_last] f32, batch (means, vars) per layer,
+    residuals)``.
+    """
+    m = g2.shape[0]
+    a_list, vec_list, stats = [], [], []
+    x = g2
+    vec2 = None  # [2, C] (scale, shift) of the previous layer
+    for w, b, gamma, beta in params:
+        if impl == "pallas":
+            a, sums = samlp.linear_stats(
+                x, vec2, w, b, tm=tm, sdtype=sdtype, interpret=interpret
+            )
+        else:
+            a, sums = _jnp_linear_stats(x, vec2, w, b, sdtype=sdtype)
+        vec4, (mean, var) = _bn_vectors(sums, gamma, beta, m, eps)
+        a_list.append(a)
+        vec_list.append(vec4)
+        stats.append((mean, var))
+        x = a
+        vec2 = vec4[:2]
+    if impl == "pallas":
+        out2, amax = samlp.finalize_max(
+            a_list[-1], vec_list[-1][:2], k=k, tm=tm, interpret=interpret
+        )
+    else:
+        out2, amax = _jnp_finalize_max(a_list[-1], vec_list[-1][:2], k=k)
+    ws = tuple(p[0] for p in params)
+    res = (g2, tuple(a_list), tuple(vec_list), amax, ws)
+    return out2, tuple(stats), res
+
+
+def _bwd_passes(res, dout2, *, k, tm, impl, sdtype, interpret):
+    """Training backward: seed pass + one pass per layer, walking down.
+
+    Returns ``(dg2 [M, C0] f32, per-layer (dW, db, dgamma, dbeta))``.
+    """
+    g2, a_list, vec_list, amax, ws = res
+    n = len(a_list)
+    if impl == "pallas":
+        dy, s = samlp.bwd_seed(
+            a_list[-1], vec_list[-1], dout2, amax, k=k, tm=tm,
+            sdtype=sdtype, interpret=interpret,
+        )
+    else:
+        dy, s = _jnp_bwd_seed(
+            a_list[-1], vec_list[-1], dout2, amax, k=k, sdtype=sdtype
+        )
+    grads = [None] * n
+    for i in range(n - 1, -1, -1):
+        a_prev = a_list[i - 1] if i > 0 else g2
+        vec_prev = vec_list[i - 1] if i > 0 else None
+        dgamma, dbeta = s[1], s[0]
+        if impl == "pallas":
+            dy_prev, dw, db, s_prev = samlp.bwd_layer(
+                dy, a_list[i], a_prev, ws[i], vec_list[i], s,
+                vec_prev, tm=tm, sdtype=sdtype, interpret=interpret,
+            )
+        else:
+            dy_prev, dw, db, s_prev = _jnp_bwd_layer(
+                dy, a_list[i], a_prev, ws[i], vec_list[i], s, vec_prev,
+                sdtype=sdtype,
+            )
+        grads[i] = (dw, db.reshape(-1), dgamma, dbeta)
+        dy, s = dy_prev, s_prev
+    return dy, tuple(grads)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret):
+    """Build the custom-VJP training core for a static config."""
+
+    @jax.custom_vjp
+    def core(g2, params):
+        out2, stats, _ = _fwd_passes(
+            g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
+            interpret=interpret,
+        )
+        return out2, stats
+
+    def core_fwd(g2, params):
+        out2, stats, res = _fwd_passes(
+            g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
+            interpret=interpret,
+        )
+        return (out2, stats), (res, tuple(jax.tree.map(jnp.shape, params)))
+
+    def core_bwd(saved, cts):
+        res, _ = saved
+        dout2, _ = cts  # batch mean/var outputs are stop-grad (flax ra)
+        dg2, layer_grads = _bwd_passes(
+            res, dout2, k=k, tm=tm, impl=impl, sdtype=sdtype,
+            interpret=interpret,
+        )
+        ws = res[4]
+        dparams = tuple(
+            (
+                dw.astype(ws[i].dtype),
+                db.astype(ws[i].dtype),
+                dgamma.astype(ws[i].dtype),
+                dbeta.astype(ws[i].dtype),
+            )
+            for i, (dw, db, dgamma, dbeta) in enumerate(layer_grads)
+        )
+        return dg2, dparams
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def fused_mlp_max(
+    grouped: jax.Array,
+    params,
+    running,
+    *,
+    train: bool,
+    momentum: float = 0.9,
+    eps: float = 1e-5,
+    impl: str = "pallas",
+    interpret: bool = False,
+    sdtype=None,
+):
+    """Fused Dense→BN→ReLU stack + max over the K axis.
+
+    Args:
+      grouped: ``[B, S, K, C0]`` neighborhoods.
+      params: per-layer tuples ``(W [Cin,Cout], b, gamma, beta)``.
+      running: per-layer ``(mean, var)`` running statistics (f32).
+      train: batch-stats mode (returns updated running stats);
+        eval mode normalizes with ``running`` in a single fused pass.
+
+    Returns:
+      ``(out [B, S, C_last], new_running)`` — ``new_running is running``
+      in eval mode.
+    """
+    b, s, k, c0 = grouped.shape
+    m = b * s * k
+    # inter-pass activations always bf16 in production: the MXU
+    # consumes bf16 at DEFAULT matmul precision regardless, stats
+    # accumulate in f32 BEFORE the rounding, and f32 storage would
+    # double HBM traffic. (Tests pass sdtype=f32 with impl='jnp' to
+    # isolate backward math from matmul precision.)
+    if sdtype is None:
+        sdtype = _BF16
+    g2 = grouped.reshape(m, c0).astype(sdtype)
+    tm = 0  # per-pass VMEM-aware auto-tiling (samlp.pass_tile)
+    if not train:
+        vecs = []
+        for (w, bb, gamma, beta), (mean, var) in zip(params, running):
+            inv_std = lax.rsqrt(var.astype(_F32) + eps)
+            scale = gamma.astype(_F32) * inv_std
+            shift = beta.astype(_F32) - mean.astype(_F32) * scale
+            vecs.append(jnp.stack([scale, shift]))
+        ws = [p[0] for p in params]
+        bs = [p[1] for p in params]
+        if impl == "pallas":
+            out2 = samlp.eval_mlp_max(
+                g2, vecs, ws, bs, k=k, tm=tm, interpret=interpret
+            )
+        else:
+            out2 = _jnp_eval_mlp_max(g2, vecs, ws, bs, k=k)
+        out = out2.reshape(b, s, -1).astype(grouped.dtype)
+        return out, running
+    core = _make_core(
+        len(params), k, tm, float(eps), impl, sdtype, interpret
+    )
+    out2, stats = core(g2, tuple(tuple(p) for p in params))
+    new_running = tuple(
+        (
+            momentum * rm + (1.0 - momentum) * lax.stop_gradient(mean),
+            momentum * rv + (1.0 - momentum) * lax.stop_gradient(var),
+        )
+        for (rm, rv), (mean, var) in zip(running, stats)
+    )
+    out = out2.reshape(b, s, -1).astype(grouped.dtype)
+    return out, new_running

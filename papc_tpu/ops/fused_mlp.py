@@ -42,11 +42,16 @@ _BF16 = jnp.bfloat16
 
 def supported(shape, features) -> bool:
     """Whether the fused kernels handle this workload: a 4-D grouped
-    tensor ``[B, S, K, C]`` with enough rows to amortize the passes."""
+    tensor ``[B, S, K, C]`` with enough rows to amortize the passes,
+    a neighborhood K small enough that 8 K-groups fit one tile row
+    block (Mosaic needs 8-row-aligned blocks), and a group count that
+    8-aligns. ``group_all`` layers (K = N, S = 1, e.g. PointNet++'s
+    SA3) fail the K bound and stay on the classic path — they are a
+    plain matmul chain XLA already schedules well."""
     if len(shape) != 4 or len(features) < 1:
         return False
     b, s, k, _ = shape
-    return b * s * k >= 4096
+    return b * s * k >= 4096 and k <= 128 and (b * s) % 8 == 0
 
 
 # Test/experiment override: ``with override(enable=True, impl='jnp')``
@@ -72,14 +77,15 @@ class override:
 def enabled(shape, features) -> bool:
     """The PointMLP dispatch gate (honors :class:`override`).
 
-    Default OFF: on-chip A/B (round 3) measured the multi-pass fused
-    block slower than the classic XLA path at SA shapes (per-grid-step
-    overhead dominates at VMEM-fitting tile sizes) — opt in via
-    ``override(enable=True)`` until it wins.
+    Default ON for the TPU backend: interleaved on-chip A/B (round 3,
+    4 alternating rounds) measured the full SSG train step at
+    14.0 ms fused vs 16.7 ms classic — inside the whole program the
+    fused passes beat XLA's op-by-op schedule even where the isolated
+    micro-bench is a wash (SA2) or behind (SA1).
     """
     if _OVERRIDE["enable"] is not None:
         return bool(_OVERRIDE["enable"]) and supported(shape, features)
-    return False
+    return supported(shape, features) and jax.default_backend() == "tpu"
 
 
 def call_opts() -> dict:

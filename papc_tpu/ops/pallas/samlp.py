@@ -87,7 +87,9 @@ def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
     """
     cap = max(1, _VMEM_BUDGET // max(1, bytes_per_row))
     t = min(target, cap)
-    step = k if of_k else min(256, m)
+    # of_k passes emit [tm//k, C] blocks: Mosaic wants the row dim
+    # divisible by 8, so tiles advance in strides of 8 K-groups
+    step = 8 * k if of_k else min(256, m)
     tm = max(step, (t // step) * step)
     while tm > step and m % tm:
         tm -= step

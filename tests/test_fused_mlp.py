@@ -216,9 +216,10 @@ def test_pointmlp_fused_branch_shares_param_tree(rng):
     """PointMLP(pool_max) with the fused branch forced reads the SAME
     variables the classic branch created, returns matching outputs, and
     writes running stats through the flax mutable mechanism."""
-    g = jnp.asarray(rng.randn(4, 16, 8, 6), jnp.float32)
+    g = jnp.asarray(rng.randn(8, 64, 8, 6), jnp.float32)
     m = PointMLP((16, 32), pool_max=True)
     variables = m.init(jax.random.PRNGKey(3), g, train=False)
+    assert fused_mlp.supported(g.shape, (16, 32))
 
     classic, mut_c = m.apply(variables, g, train=True,
                              mutable=["batch_stats"])
@@ -246,6 +247,8 @@ def test_pointmlp_fused_branch_shares_param_tree(rng):
 def test_gate_small_and_3d_inputs_stay_classic():
     assert not fused_mlp.supported((2, 4, 8, 6), (16,))  # < 4096 rows
     assert not fused_mlp.supported((128, 64, 6), (16,))  # not grouped
+    assert not fused_mlp.supported((32, 1, 1024, 6), (16,))  # group_all
+    assert not fused_mlp.supported((4, 3, 512, 6), (16,))  # groups !% 8
     assert fused_mlp.supported((8, 64, 16, 6), (16, 32))
 
 

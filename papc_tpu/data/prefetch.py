@@ -25,22 +25,38 @@ def prefetch_to_device(
 ) -> Iterator:
     """Iterate ``iterable`` on a background thread, optionally apply
     ``transform`` (host-side), then ``device_put`` (with ``sharding``
-    when given) ``size`` batches ahead."""
+    when given) ``size`` batches ahead.
+
+    ``sharding`` may be a callable ``item -> Sharding`` for streams
+    whose items need different placements (e.g. the trainer's mix of
+    K-stacked scan batches and single leftover batches). Non-array
+    leaves (tags such as ``("scan", batch)``) pass through untouched.
+    """
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+
+    def put_tree(item, sh):
+        def put(x):
+            if isinstance(x, (str, bytes)) or x is None:
+                return x
+            return jax.device_put(x, sh) if sh is not None else (
+                jax.device_put(x)
+            )
+
+        return jax.tree_util.tree_map(put, item)
 
     def producer():
         try:
             for item in iterable:
                 if transform is not None:
                     item = transform(item)
-                if sharding is not None:
-                    item = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, sharding), item
-                    )
-                else:
-                    item = jax.tree_util.tree_map(jax.device_put, item)
-                q.put(item)
+                sh = (
+                    sharding(item)
+                    if callable(sharding)
+                    and not isinstance(sharding, jax.sharding.Sharding)
+                    else sharding
+                )
+                q.put(put_tree(item, sh))
         except BaseException as e:  # propagate into the consumer
             q.put(e)
             return

@@ -57,13 +57,15 @@ def supported(shape, features) -> bool:
 # Test/experiment override: ``with override(enable=True, impl='jnp')``
 # forces the fused path on any backend (layers.PointMLP consults
 # :func:`enabled` / :func:`call_opts`). ``enable=None`` = default gate.
-_OVERRIDE = {"enable": None, "impl": "pallas", "interpret": False}
+_OVERRIDE = {"enable": None, "impl": "pallas", "interpret": False,
+             "mode": "stream"}
 
 
 class override:
-    def __init__(self, enable=None, impl="pallas", interpret=False):
+    def __init__(self, enable=None, impl="pallas", interpret=False,
+                 mode="stream"):
         self._new = {"enable": enable, "impl": impl,
-                     "interpret": interpret}
+                     "interpret": interpret, "mode": mode}
 
     def __enter__(self):
         self._old = dict(_OVERRIDE)
@@ -91,7 +93,8 @@ def enabled(shape, features) -> bool:
 def call_opts() -> dict:
     """impl/interpret kwargs for :func:`fused_mlp_max` (override-aware)."""
     return {"impl": _OVERRIDE["impl"],
-            "interpret": _OVERRIDE["interpret"]}
+            "interpret": _OVERRIDE["interpret"],
+            "mode": _OVERRIDE["mode"]}
 
 
 def _bn_vectors(sums, gamma, beta, m, eps):
@@ -275,32 +278,52 @@ def _bwd_passes(res, dout2, *, k, tm, impl, sdtype, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret):
-    """Build the custom-VJP training core for a static config."""
+def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
+               mode="stream"):
+    """Build the custom-VJP training core for a static config.
+
+    ``mode='stream'``: v1 linear passes over stored bf16 activations.
+    ``mode='recompute'``: v2 passes that re-derive the chain from the
+    block input each pass (flash-attention-style; far less HBM
+    traffic, ~L x more MXU work).
+    """
+
+    def fwd(g2, params):
+        if mode == "recompute":
+            return _fwd_recompute(
+                g2, params, k=k, eps=eps, impl=impl, sdtype=sdtype,
+                interpret=interpret,
+            )
+        return _fwd_passes(
+            g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
+            interpret=interpret,
+        )
+
+    def bwd(res, dout2):
+        if mode == "recompute":
+            return _bwd_recompute(
+                res, dout2, k=k, impl=impl, sdtype=sdtype,
+                interpret=interpret,
+            )
+        return _bwd_passes(
+            res, dout2, k=k, tm=tm, impl=impl, sdtype=sdtype,
+            interpret=interpret,
+        )
 
     @jax.custom_vjp
     def core(g2, params):
-        out2, stats, _ = _fwd_passes(
-            g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
-            interpret=interpret,
-        )
+        out2, stats, _ = fwd(g2, params)
         return out2, stats
 
     def core_fwd(g2, params):
-        out2, stats, res = _fwd_passes(
-            g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
-            interpret=interpret,
-        )
+        out2, stats, res = fwd(g2, params)
         return (out2, stats), (res, tuple(jax.tree.map(jnp.shape, params)))
 
     def core_bwd(saved, cts):
         res, _ = saved
         dout2, _ = cts  # batch mean/var outputs are stop-grad (flax ra)
-        dg2, layer_grads = _bwd_passes(
-            res, dout2, k=k, tm=tm, impl=impl, sdtype=sdtype,
-            interpret=interpret,
-        )
-        ws = res[4]
+        dg2, layer_grads = bwd(res, dout2)
+        ws = res[3] if mode == "recompute" else res[4]
         dparams = tuple(
             (
                 dw.astype(ws[i].dtype),
@@ -327,6 +350,7 @@ def fused_mlp_max(
     impl: str = "pallas",
     interpret: bool = False,
     sdtype=None,
+    mode: str = "stream",
 ):
     """Fused Dense→BN→ReLU stack + max over the K axis.
 
@@ -370,7 +394,7 @@ def fused_mlp_max(
         out = out2.reshape(b, s, -1).astype(grouped.dtype)
         return out, running
     core = _make_core(
-        len(params), k, tm, float(eps), impl, sdtype, interpret
+        len(params), k, tm, float(eps), impl, sdtype, interpret, mode
     )
     out2, stats = core(g2, tuple(tuple(p) for p in params))
     new_running = tuple(
@@ -382,3 +406,188 @@ def fused_mlp_max(
     )
     out = out2.reshape(b, s, -1).astype(grouped.dtype)
     return out, new_running
+
+
+# ------------------------------------------- v2 twins (recompute mode)
+# jnp mirrors of the samlp recompute passes: every pass re-derives the
+# layer chain from g2 in f32 (bf16-input dots) instead of reading
+# stored activations. See the kernel module for the traffic argument.
+
+def _jnp_chain(g2, vecs2, ws, bs, upto, *, sdtype=_BF16):
+    x = g2.astype(_F32)
+    a_list, h_list = [], []
+    h = x
+    for i in range(upto):
+        a = _dot(h, ws[i], sdtype) + bs[i].astype(_F32)
+        a_list.append(a)
+        if i < upto - 1:
+            h = jnp.maximum(a * vecs2[i][0] + vecs2[i][1], 0.0)
+            h_list.append(h)
+    return a_list, h_list
+
+
+def _jnp_rc_stats(g2, vecs2, ws, bs, *, upto, sdtype=_BF16):
+    a_list, _ = _jnp_chain(g2, vecs2, ws, bs, upto, sdtype=sdtype)
+    a = a_list[-1]
+    return jnp.stack([jnp.sum(a, axis=0), jnp.sum(a * a, axis=0)])
+
+
+def _jnp_rc_final(g2, vecs2, ws, bs, *, k, with_amax=True,
+                  sdtype=_BF16):
+    n = len(ws)
+    a_list, _ = _jnp_chain(g2, vecs2, ws, bs, n, sdtype=sdtype)
+    h = jnp.maximum(a_list[-1] * vecs2[-1][0] + vecs2[-1][1], 0.0)
+    m, c = h.shape
+    h3 = h.reshape(m // k, k, c)
+    mx = jnp.max(h3, axis=1)
+    if not with_amax:
+        return mx, None
+    kio = lax.broadcasted_iota(jnp.int32, (m // k, k, c), 1)
+    amax = jnp.min(jnp.where(h3 == mx[:, None, :], kio, k), axis=1)
+    return mx, amax.astype(jnp.int32)
+
+
+def _jnp_chain_bwd(a_list, dout, amax, vecs4, ws, mus, *, k, level,
+                   sdtype=_BF16):
+    n = len(ws)
+    vecL = vecs4[n - 1]
+    aL = a_list[n - 1]
+    o = aL * vecL[0] + vecL[1]
+    m, c = aL.shape
+    kio = lax.broadcasted_iota(jnp.int32, (m // k, k, c), 1)
+    dh = jnp.where(
+        kio == amax[:, None, :], dout.astype(_F32)[:, None, :], 0.0
+    ).reshape(m, c)
+    dy = jnp.where(o > 0, dh, 0.0)
+    d = _BF16 if sdtype == _BF16 else _F32
+    da_map = {}
+    for j in range(n, level, -1):
+        vj = vecs4[j - 1]
+        xhat = (a_list[j - 1] - vj[2]) * vj[3]
+        da = vj[0] * (dy - mus[j - 1][0] - xhat * mus[j - 1][1])
+        da_map[j] = da
+        dhp = lax.dot_general(
+            da.astype(d), ws[j - 1].astype(d),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+        if j - 1 >= 1:
+            vp = vecs4[j - 2]
+            op = a_list[j - 2] * vp[0] + vp[1]
+            dy = jnp.where(op > 0, dhp, 0.0)
+        else:
+            dy = dhp
+    return dy, da_map
+
+
+def _jnp_rc_bwd_stats(g2, dout, amax, vecs4, ws, bs, mus, *, level, k,
+                      sdtype=_BF16):
+    n = len(ws)
+    a_list, _ = _jnp_chain(
+        g2, [v[:2] for v in vecs4], ws, bs, n, sdtype=sdtype
+    )
+    dy, _ = _jnp_chain_bwd(
+        a_list, dout, amax, vecs4, ws, mus, k=k, level=level,
+        sdtype=sdtype,
+    )
+    vl = vecs4[level - 1]
+    xhat = (a_list[level - 1] - vl[2]) * vl[3]
+    return jnp.stack(
+        [jnp.sum(dy, axis=0), jnp.sum(dy * xhat, axis=0)]
+    )
+
+
+def _jnp_rc_bwd_final(g2, dout, amax, vecs4, ws, bs, mus, *, k,
+                      sdtype=_BF16):
+    n = len(ws)
+    g = g2.astype(_F32)
+    a_list, h_list = _jnp_chain(
+        g2, [v[:2] for v in vecs4], ws, bs, n, sdtype=sdtype
+    )
+    dy, da_map = _jnp_chain_bwd(
+        a_list, dout, amax, vecs4, ws, mus, k=k, level=0,
+        sdtype=sdtype,
+    )
+    d = _BF16 if sdtype == _BF16 else _F32
+    h_prev = [g] + h_list
+    dws, dbs = [], []
+    for j in range(1, n + 1):
+        da = da_map[j]
+        dws.append(
+            lax.dot_general(
+                h_prev[j - 1].astype(d), da.astype(d),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            )
+        )
+        dbs.append(jnp.sum(da, axis=0, keepdims=True))
+    return dy, tuple(dws), tuple(dbs)
+
+
+# -------------------------------------- v2 orchestration (recompute)
+
+def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret):
+    m = g2.shape[0]
+    ws = tuple(p[0] for p in params)
+    bs = tuple(p[1] for p in params)
+    vecs, stats = [], []
+    for l in range(1, len(params) + 1):
+        vecs2 = [v[:2] for v in vecs]
+        if impl == "pallas":
+            sums = samlp.recompute_stats(
+                g2, vecs2, ws, bs, upto=l, interpret=interpret
+            )
+        else:
+            sums = _jnp_rc_stats(
+                g2, vecs2, ws, bs, upto=l, sdtype=sdtype
+            )
+        gamma, beta = params[l - 1][2], params[l - 1][3]
+        vec4, (mean, var) = _bn_vectors(sums, gamma, beta, m, eps)
+        vecs.append(vec4)
+        stats.append((mean, var))
+    vecs2 = [v[:2] for v in vecs]
+    if impl == "pallas":
+        out2, amax = samlp.recompute_final_max(
+            g2, vecs2, ws, bs, k=k, interpret=interpret
+        )
+    else:
+        out2, amax = _jnp_rc_final(
+            g2, vecs2, ws, bs, k=k, sdtype=sdtype
+        )
+    res = (g2, tuple(vecs), amax, ws, bs)
+    return out2, tuple(stats), res
+
+
+def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret):
+    g2, vecs, amax, ws, bs = res
+    m = g2.shape[0]
+    n = len(ws)
+    mus = [None] * n
+    s_list = [None] * n
+    for level in range(n, 0, -1):
+        if impl == "pallas":
+            s = samlp.recompute_bwd_stats(
+                g2, dout2, amax, vecs, ws, bs, mus, level=level, k=k,
+                interpret=interpret,
+            )
+        else:
+            s = _jnp_rc_bwd_stats(
+                g2, dout2, amax, vecs, ws, bs, mus, level=level, k=k,
+                sdtype=sdtype,
+            )
+        s_list[level - 1] = s
+        mus[level - 1] = s / m
+    if impl == "pallas":
+        dg2, dws, dbs = samlp.recompute_bwd_final(
+            g2, dout2, amax, vecs, ws, bs, mus, k=k,
+            interpret=interpret,
+        )
+    else:
+        dg2, dws, dbs = _jnp_rc_bwd_final(
+            g2, dout2, amax, vecs, ws, bs, mus, k=k, sdtype=sdtype
+        )
+    grads = tuple(
+        (dws[i], dbs[i].reshape(-1), s_list[i][1], s_list[i][0])
+        for i in range(n)
+    )
+    return dg2, grads

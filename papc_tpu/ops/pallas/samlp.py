@@ -427,7 +427,11 @@ def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
     m, cout = dy.shape
     cin = a_prev.shape[1]
     if not tm:
-        tm = pass_tile(m, 1, 12 * cout + 8 * cin, of_k=False)
+        # 16*cin covers the first-layer variant's f32 dg output block
+        # (surrounding-program context can also eat scoped headroom —
+        # observed 17.6M under a scanned train loop where the same
+        # pass fit standalone)
+        tm = pass_tile(m, 1, 12 * cout + 16 * cin, of_k=False)
     grid = (m // tm,)
     first = vec_prev is None
     in_specs = [
@@ -489,3 +493,418 @@ def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
         return dg, dw, db, None
     dyp, dw, db, s_prev = outs
     return dyp, dw, db, s_prev
+
+
+# ------------------------------------------------- v2: recompute passes
+# The streaming passes above still move every layer's [M, C] activation
+# through HBM (403 MB per backward pass at SA2 scale — measured as the
+# train step's dominant traffic). These passes instead RE-COMPUTE the
+# layer chain from the block input inside each tile: every pass reads
+# only ``g2 [M, C0]`` (+ dout/amax for the backward), so HBM traffic
+# collapses to O(passes x |g2|) — for SA1 (C0=3) that is ~3 MB per
+# sweep against a 67-134 MB activation chain. The trade is O(L) extra
+# MXU work per pass; at PointNet++ widths the MXU has ~50x headroom
+# over HBM at these shapes. Chain arithmetic is f32 in-register
+# (MORE accurate than the v1 bf16-stored chain); dots stay bf16-input.
+
+def _chain_fwd(x, vecs, ws, bs, upto):
+    """In-kernel: recompute a_1..a_upto from f32 x; returns the list of
+    pre-activations ``a_i`` and hidden ``h_i = relu(a_i*vec_i)``
+    (h list has upto-1 entries; vecs has >= upto-1 entries)."""
+    a_list, h_list = [], []
+    h = x
+    for i in range(upto):
+        a = jnp.dot(
+            h.astype(_BF16), ws[i][:].astype(_BF16),
+            preferred_element_type=_F32,
+        ) + bs[i][0, :]
+        a_list.append(a)
+        if i < upto - 1:
+            h = jnp.maximum(a * vecs[i][0, :] + vecs[i][1, :], 0.0)
+            h_list.append(h)
+    return a_list, h_list
+
+
+def _rc_stats_kernel(*refs, upto: int):
+    g_ref = refs[0]
+    vec_refs = list(refs[1:upto])
+    w_refs = list(refs[upto:2 * upto])
+    b_refs = list(refs[2 * upto:3 * upto])
+    s_ref = refs[-1]
+    a_list, _ = _chain_fwd(
+        g_ref[:].astype(_F32), vec_refs, w_refs, b_refs, upto
+    )
+    a = a_list[-1]
+    s = jnp.concatenate(
+        [
+            jnp.sum(a, axis=0, keepdims=True),
+            jnp.sum(a * a, axis=0, keepdims=True),
+        ],
+        axis=0,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s_ref[:] = s
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        s_ref[:] = s_ref[:] + s
+
+
+def _widths(ws):
+    return [ws[0].shape[0]] + [w.shape[1] for w in ws]
+
+
+def _rc_tile(m, k, ws, extra_cols, *, of_k):
+    """Tile rows for a recompute pass: f32 chain + extras per row."""
+    cols = sum(_widths(ws)) + extra_cols
+    return pass_tile(m, k, 6 * cols, of_k=of_k, target=2048)
+
+
+def recompute_stats(g2, vecs, ws, bs, *, upto: int, tm: int = 0,
+                    interpret: bool = False):
+    """Forward stats pass for layer ``upto`` (1-indexed): recompute the
+    chain from ``g2`` with the ``upto-1`` known BN affines, return
+    ``[2, c_upto]`` (Σa, Σa²)."""
+    m, c0 = g2.shape
+    if not tm:
+        tm = _rc_tile(m, 1, ws[:upto], 0, of_k=False)
+    grid = (m // tm,)
+    in_specs = [pl.BlockSpec((tm, c0), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [g2]
+    for vec in vecs[:upto - 1]:
+        c = vec.shape[1]
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(vec[:2].astype(_F32))
+    for w in ws[:upto]:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w)
+    for w, b in zip(ws[:upto], bs[:upto]):
+        c = w.shape[1]
+        in_specs.append(pl.BlockSpec((1, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b.reshape(1, c).astype(_F32))
+    cout = ws[upto - 1].shape[1]
+    return pl.pallas_call(
+        functools.partial(_rc_stats_kernel, upto=upto),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, cout), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, cout), _F32),
+        interpret=interpret,
+    )(*args)
+
+
+def _rc_final_kernel(*refs, n_layers: int, k: int, with_amax: bool):
+    g_ref = refs[0]
+    vec_refs = list(refs[1:1 + n_layers])
+    w_refs = list(refs[1 + n_layers:1 + 2 * n_layers])
+    b_refs = list(refs[1 + 2 * n_layers:1 + 3 * n_layers])
+    out_ref = refs[1 + 3 * n_layers]
+    a_list, _ = _chain_fwd(
+        g_ref[:].astype(_F32), vec_refs, w_refs, b_refs, n_layers
+    )
+    vecL = vec_refs[n_layers - 1]
+    h = jnp.maximum(a_list[-1] * vecL[0, :] + vecL[1, :], 0.0)
+    tm, c = h.shape
+    h3 = h.reshape(tm // k, k, c)
+    mx = jnp.max(h3, axis=1)
+    out_ref[:] = mx
+    if with_amax:
+        amax_ref = refs[2 + 3 * n_layers]
+        kio = lax.broadcasted_iota(jnp.int32, (tm // k, k, c), 1)
+        amax_ref[:] = jnp.min(
+            jnp.where(h3 == mx[:, None, :], kio, k), axis=1
+        ).astype(jnp.int32)
+
+
+def recompute_final_max(g2, vecs, ws, bs, *, k: int, tm: int = 0,
+                        with_amax: bool = True,
+                        interpret: bool = False):
+    """Final forward pass: recompute the whole chain + last BN/ReLU +
+    max over K. Returns ``(out2 [M//k, cL] f32, amax i32)`` (amax only
+    when ``with_amax`` — eval mode skips it)."""
+    m, c0 = g2.shape
+    n = len(ws)
+    if not tm:
+        tm = _rc_tile(m, k, ws, 0, of_k=True)
+    grid = (m // tm,)
+    in_specs = [pl.BlockSpec((tm, c0), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [g2]
+    for vec in vecs:
+        c = vec.shape[1]
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(vec[:2].astype(_F32))
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w)
+    for w, b in zip(ws, bs):
+        cout = w.shape[1]
+        in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b.reshape(1, cout).astype(_F32))
+    c_last = ws[-1].shape[1]
+    out_specs = [pl.BlockSpec((tm // k, c_last), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((m // k, c_last), _F32)]
+    if with_amax:
+        out_specs.append(pl.BlockSpec((tm // k, c_last),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((m // k, c_last), jnp.int32)
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _rc_final_kernel, n_layers=n, k=k, with_amax=with_amax
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
+    return outs if with_amax else (outs[0], None)
+
+
+def _chain_bwd(a_list, h_list, dout, amax, vec_refs, w_refs, mu_refs,
+               *, k: int, level: int, n_layers: int):
+    """In-kernel: from the recomputed chain, walk the cotangent down to
+    ``level`` (1-indexed). ``mu_refs[j]`` is ``[2, c_j]`` (mu1, mu2) for
+    layers level+1..L (None-padded list indexed 0..L-1). Returns
+    ``(dy_level, da at each visited layer as dict)``."""
+    vecL = vec_refs[n_layers - 1]
+    aL = a_list[n_layers - 1]
+    o = aL * vecL[0, :] + vecL[1, :]
+    tm, c = aL.shape
+    kio = lax.broadcasted_iota(jnp.int32, (tm // k, k, c), 1)
+    dh = jnp.where(
+        kio == amax[:][:, None, :], dout[:][:, None, :], 0.0
+    ).reshape(tm, c)
+    dy = jnp.where(o > 0, dh, 0.0)
+    da_map = {}
+    for j in range(n_layers, level, -1):
+        vj = vec_refs[j - 1]
+        aj = a_list[j - 1]
+        xhat = (aj - vj[2, :]) * vj[3, :]
+        mu = mu_refs[j - 1]
+        da = vj[0, :] * (dy - mu[0, :] - xhat * mu[1, :])
+        da_map[j] = da
+        dhp = lax.dot_general(
+            da.astype(_BF16), w_refs[j - 1][:].astype(_BF16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+        if j - 1 >= 1:
+            vprev = vec_refs[j - 2]
+            op = a_list[j - 2] * vprev[0, :] + vprev[1, :]
+            dy = jnp.where(op > 0, dhp, 0.0)
+        else:
+            dy = dhp  # gradient w.r.t. the raw block input
+    return dy, da_map
+
+
+def _rc_bwd_stats_kernel(*refs, n_layers: int, k: int, level: int):
+    g_ref = refs[0]
+    dout_ref = refs[1]
+    amax_ref = refs[2]
+    base = 3
+    vec_refs = list(refs[base:base + n_layers])
+    w_refs = list(refs[base + n_layers:base + 2 * n_layers])
+    b_refs = list(refs[base + 2 * n_layers:base + 3 * n_layers])
+    n_mu = n_layers - level
+    mu_list = list(refs[base + 3 * n_layers:base + 3 * n_layers + n_mu])
+    s_ref = refs[-1]
+    mu_refs = [None] * n_layers
+    for i, j in enumerate(range(level + 1, n_layers + 1)):
+        mu_refs[j - 1] = mu_list[i]
+    a_list, _ = _chain_fwd(
+        g_ref[:].astype(_F32),
+        [v for v in vec_refs], w_refs, b_refs, n_layers,
+    )
+    dy, _ = _chain_bwd(
+        a_list, None, dout_ref, amax_ref, vec_refs, w_refs, mu_refs,
+        k=k, level=level, n_layers=n_layers,
+    )
+    vl = vec_refs[level - 1]
+    xhat = (a_list[level - 1] - vl[2, :]) * vl[3, :]
+    s = jnp.concatenate(
+        [
+            jnp.sum(dy, axis=0, keepdims=True),
+            jnp.sum(dy * xhat, axis=0, keepdims=True),
+        ],
+        axis=0,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s_ref[:] = s
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        s_ref[:] = s_ref[:] + s
+
+
+def _rc_common_specs(g2, dout, amax, vecs, ws, bs, tm, k):
+    m, c0 = g2.shape
+    c_last = ws[-1].shape[1]
+    in_specs = [
+        pl.BlockSpec((tm, c0), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm // k, c_last), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm // k, c_last), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [g2, dout.astype(_F32), amax]
+    for vec in vecs:
+        c = vec.shape[1]
+        in_specs.append(pl.BlockSpec((4, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(vec.astype(_F32))
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w)
+    for w, b in zip(ws, bs):
+        cout = w.shape[1]
+        in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b.reshape(1, cout).astype(_F32))
+    return in_specs, args
+
+
+def recompute_bwd_stats(g2, dout, amax, vecs, ws, bs, mus, *,
+                        level: int, k: int, tm: int = 0,
+                        interpret: bool = False):
+    """Backward stats pass for layer ``level``: recompute the chain,
+    walk the cotangent down from the max to ``level`` using the known
+    per-layer gradient means ``mus[j] = [2, c_j]`` for j > level, and
+    return layer ``level``'s global sums ``[2, c_level]``
+    (Σdy, Σdy·x̂) — its (dbeta, dgamma)."""
+    m, c0 = g2.shape
+    n = len(ws)
+    if not tm:
+        tm = _rc_tile(m, k, ws, ws[-1].shape[1], of_k=True)
+    grid = (m // tm,)
+    in_specs, args = _rc_common_specs(
+        g2, dout, amax, vecs, ws, bs, tm, k
+    )
+    for j in range(level + 1, n + 1):
+        c = ws[j - 1].shape[1]
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mus[j - 1].astype(_F32))
+    c_level = ws[level - 1].shape[1]
+    return pl.pallas_call(
+        functools.partial(
+            _rc_bwd_stats_kernel, n_layers=n, k=k, level=level
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, c_level), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, c_level), _F32),
+        interpret=interpret,
+    )(*args)
+
+
+def _rc_bwd_final_kernel(*refs, n_layers: int, k: int, out_dtype):
+    g_ref = refs[0]
+    dout_ref = refs[1]
+    amax_ref = refs[2]
+    base = 3
+    vec_refs = list(refs[base:base + n_layers])
+    w_refs = list(refs[base + n_layers:base + 2 * n_layers])
+    b_refs = list(refs[base + 2 * n_layers:base + 3 * n_layers])
+    mu_list = list(refs[base + 3 * n_layers:base + 4 * n_layers])
+    n_in = base + 4 * n_layers
+    dg_ref = refs[n_in]
+    dw_refs = list(refs[n_in + 1:n_in + 1 + n_layers])
+    db_refs = list(refs[n_in + 1 + n_layers:n_in + 1 + 2 * n_layers])
+    g = g_ref[:].astype(_F32)
+    a_list, h_list = _chain_fwd(g, vec_refs, w_refs, b_refs, n_layers)
+    dy, da_map = _chain_bwd(
+        a_list, h_list, dout_ref, amax_ref, vec_refs, w_refs, mu_list,
+        k=k, level=0, n_layers=n_layers,
+    )
+    # dy is now the gradient w.r.t. the raw block input
+    dg_ref[:] = dy.astype(out_dtype)
+    h_prev = [g] + h_list  # h_prev[j-1] feeds layer j
+    for j in range(1, n_layers + 1):
+        da = da_map[j]
+        dw = lax.dot_general(
+            h_prev[j - 1].astype(_BF16), da.astype(_BF16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+        db = jnp.sum(da, axis=0, keepdims=True)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _(dw_ref=dw_refs[j - 1], db_ref=db_refs[j - 1], dw=dw,
+              db=db):
+            dw_ref[:] = dw
+            db_ref[:] = db
+
+        @pl.when(pl.program_id(0) != 0)
+        def _(dw_ref=dw_refs[j - 1], db_ref=db_refs[j - 1], dw=dw,
+              db=db):
+            dw_ref[:] = dw_ref[:] + dw
+            db_ref[:] = db_ref[:] + db
+
+
+def recompute_bwd_final(g2, dout, amax, vecs, ws, bs, mus, *, k: int,
+                        tm: int = 0, interpret: bool = False):
+    """Final backward pass: recompute chain + full cotangent walk,
+    accumulate every layer's ``dW``/``db`` on the MXU and emit the
+    block-input gradient ``dg2 [M, C0]`` f32. ``mus`` has all L
+    layers' gradient means."""
+    m, c0 = g2.shape
+    n = len(ws)
+    if not tm:
+        tm = _rc_tile(m, k, ws, ws[-1].shape[1] + c0, of_k=True)
+    grid = (m // tm,)
+    in_specs, args = _rc_common_specs(
+        g2, dout, amax, vecs, ws, bs, tm, k
+    )
+    for j in range(1, n + 1):
+        c = ws[j - 1].shape[1]
+        in_specs.append(pl.BlockSpec((2, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mus[j - 1].astype(_F32))
+    out_specs = [pl.BlockSpec((tm, c0), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((m, c0), _F32)]
+    for w in ws:
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(w.shape, _F32))
+    for w in ws:
+        out_specs.append(pl.BlockSpec((1, w.shape[1]),
+                                      lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, w.shape[1]), _F32)
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _rc_bwd_final_kernel, n_layers=n, k=k, out_dtype=_F32
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
+    dg2 = outs[0]
+    dws = outs[1:1 + n]
+    dbs = outs[1 + n:1 + 2 * n]
+    return dg2, dws, dbs

@@ -41,6 +41,12 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharding for K-stacked batches ``[K, B, ...]`` (the scanned
+    train step): axis 0 is the scan axis (replicated), axis 1 the batch."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -118,8 +118,7 @@ def make_train_step(
         new_stats = cast_floating(mutated["batch_stats"], jnp.float32)
         return loss, (out, new_stats)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: dict, dropout_rng):
+    def step_impl(state: TrainState, batch: dict, dropout_rng):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, dropout_rng)
@@ -131,6 +130,13 @@ def make_train_step(
         else:
             metric = M.accuracy(logits, targets, batch["mask"])
         return state, loss, metric
+
+    train_step = functools.partial(jax.jit, donate_argnums=(0,))(
+        step_impl
+    )
+    # the un-jitted update, for composition inside larger jitted
+    # programs (make_scan_train_step's lax.scan body)
+    train_step.impl = step_impl
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
@@ -149,6 +155,58 @@ def make_train_step(
         return loss, metric
 
     return train_step, eval_step
+
+
+def make_scan_train_step(
+    spec: ModelSpec,
+    scan_steps: int,
+    num_parts: int = 50,
+    precision: str = "fp32",
+):
+    """K train steps scanned inside ONE jitted call.
+
+    Takes a stacked batch pytree (leading axis ``scan_steps``) and a
+    base rng; runs ``lax.scan`` over the same per-step update as
+    :func:`make_train_step` with the state as donated carry. Returns
+    ``(state, losses [K], metrics [K])``.
+
+    Why: each jitted call pays a dispatch round-trip (through this
+    image's TPU relay, 0.5–8 ms depending on service state — often
+    more than the SSG step's device time). Scanning K steps per call
+    amortizes that to 1/K and lets the device run back-to-back steps
+    with no host in the loop. The reference's python train loop
+    (``PAPC/train.py:96-117``) has no analog — it syncs every step.
+
+    The scanned program is a single XLA computation, so all K batches
+    must be resident; keep K modest (8–64) for HBM.
+    """
+    from jax import lax
+
+    train_step, _ = make_train_step(spec, num_parts, precision)
+    step_impl = train_step.impl
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_train_step(state: TrainState, stacked_batch: dict, rng):
+        def body(carry, batch):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, loss, metric = step_impl(st, batch, sub)
+            return (st, r), (loss, metric)
+
+        (state, _), (losses, metrics) = lax.scan(
+            body, (state, rng), stacked_batch
+        )
+        return state, losses, metrics
+
+    return scan_train_step
+
+
+def stack_batches(batches: list) -> dict:
+    """Stack K same-shape batch dicts into one [K, ...] pytree (host
+    side, for :func:`make_scan_train_step`)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *batches
+    )
 
 
 def save_checkpoint(state: TrainState, model_dir: str, name: str, epoch: int):
@@ -295,6 +353,7 @@ def train(
     model_dir: str = "./model/",
     seed: int = 0,
     precision: str = "fp32",
+    scan_steps: int = 1,
     make_loader: Callable | None = None,
     log: Callable[[str], None] = print,
 ):
@@ -330,32 +389,82 @@ def train(
     )
     state = replicate(mesh, state)
     train_step, eval_step = make_train_step(spec, num_parts, precision)
+    scan_step = (
+        make_scan_train_step(spec, scan_steps, num_parts, precision)
+        if scan_steps > 1
+        else None
+    )
 
     from papc_tpu.data.prefetch import prefetch_to_device
-    from papc_tpu.parallel.mesh import data_sharding
+    from papc_tpu.parallel.mesh import data_sharding, stacked_data_sharding
+
+    def _stacked_epoch_iter():
+        """Group K host batches per scanned call; leftovers (< K at
+        epoch end) fall back to single stepping."""
+        buf = []
+        for raw in train_loader():
+            buf.append(_as_batch_dict(spec, raw))
+            if len(buf) == scan_steps:
+                yield ("scan", stack_batches(buf))
+                buf = []
+        for b in buf:
+            yield ("single", b)
 
     history = []
     step_count = 0
+    name = "miou" if mode == "seg" else "accuracy"
     for epoch in range(epoch_num):
         log("=" * 35 + "train" + "=" * 43)
         t0 = time.time()
-        batches = prefetch_to_device(
-            train_loader(),
-            size=2,
-            transform=lambda raw: _as_batch_dict(spec, raw),
-            sharding=data_sharding(mesh),
-        )
-        for batch_id, batch in enumerate(batches):
-            rng, drop_rng = jax.random.split(rng)
-            state, loss, metric = train_step(state, batch, drop_rng)
-            if batch_id % info_iter == 0:
-                name = "miou" if mode == "seg" else "accuracy"
-                log(
-                    f"epoch: {epoch}, batch_id: {batch_id}, "
-                    f"loss is: [{float(loss):.6f}], "
-                    f"{name} is: [{float(metric):.6f}]"
-                )
-            step_count += 1
+        if scan_step is not None:
+            batches = prefetch_to_device(
+                _stacked_epoch_iter(),
+                size=2,
+                sharding=lambda kb: (
+                    stacked_data_sharding(mesh)
+                    if kb[0] == "scan"
+                    else data_sharding(mesh)
+                ),
+            )
+            for kind, batch in batches:
+                rng, drop_rng = jax.random.split(rng)
+                if kind == "scan":
+                    state, losses, metrics = scan_step(
+                        state, batch, drop_rng
+                    )
+                    loss, metric = losses[-1], metrics[-1]
+                    n_done = scan_steps
+                else:
+                    state, loss, metric = train_step(
+                        state, batch, drop_rng
+                    )
+                    n_done = 1
+                if (step_count // scan_steps) % max(
+                    info_iter // scan_steps, 1
+                ) == 0:
+                    log(
+                        f"epoch: {epoch}, batch_id: {step_count}, "
+                        f"loss is: [{float(loss):.6f}], "
+                        f"{name} is: [{float(metric):.6f}]"
+                    )
+                step_count += n_done
+        else:
+            batches = prefetch_to_device(
+                train_loader(),
+                size=2,
+                transform=lambda raw: _as_batch_dict(spec, raw),
+                sharding=data_sharding(mesh),
+            )
+            for batch_id, batch in enumerate(batches):
+                rng, drop_rng = jax.random.split(rng)
+                state, loss, metric = train_step(state, batch, drop_rng)
+                if batch_id % info_iter == 0:
+                    log(
+                        f"epoch: {epoch}, batch_id: {batch_id}, "
+                        f"loss is: [{float(loss):.6f}], "
+                        f"{name} is: [{float(metric):.6f}]"
+                    )
+                step_count += 1
         epoch_time = time.time() - t0
 
         if epoch % save_iter == 0:

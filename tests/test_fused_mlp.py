@@ -267,3 +267,109 @@ def test_bf16_input_roundtrip(rng):
         np.asarray(got16, np.float32), np.asarray(got32),
         rtol=0, atol=1e-1,
     )
+
+
+# --------------------------- v2 (recompute mode) ---------------------------
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_recompute_forward_matches_flax(rng, impl):
+    g, oracle, variables, params, running = _setup(rng)
+    want, mut = oracle.apply(variables, g, train=True,
+                             mutable=["batch_stats"])
+    got, new_running = fused_mlp.fused_mlp_max(
+        g, params, running, train=True, momentum=BN_MOMENTUM,
+        eps=BN_EPS, impl=impl, interpret=True, mode="recompute",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=6e-2)
+    for i, (nm, nv) in enumerate(new_running):
+        np.testing.assert_allclose(
+            np.asarray(nm),
+            np.asarray(mut["batch_stats"][f"BatchNorm_{i}"]["mean"]),
+            rtol=0, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(nv),
+            np.asarray(mut["batch_stats"][f"BatchNorm_{i}"]["var"]),
+            rtol=0, atol=2e-3)
+
+
+def test_recompute_pallas_matches_jnp(rng):
+    """Interpret-mode recompute kernels vs their jnp twins: same
+    arithmetic, fwd and grads."""
+    g, _, _, params, running = _setup(rng)
+
+    def make_loss(impl):
+        def loss(p, x):
+            out, _ = fused_mlp.fused_mlp_max(
+                x, p, running, train=True, eps=BN_EPS, impl=impl,
+                interpret=True, mode="recompute")
+            return jnp.sum(out * out)
+        return loss
+
+    oj = make_loss("jnp")(params, g)
+    op = make_loss("pallas")(params, g)
+    np.testing.assert_allclose(float(op), float(oj), rtol=1e-6)
+    gp_j, gx_j = jax.grad(make_loss("jnp"), argnums=(0, 1))(params, g)
+    gp_p, gx_p = jax.grad(make_loss("pallas"), argnums=(0, 1))(params, g)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_j),
+                               rtol=1e-5, atol=1e-4)
+    for tj, tp in zip(jax.tree_util.tree_leaves(gp_j),
+                      jax.tree_util.tree_leaves(gp_p)):
+        np.testing.assert_allclose(np.asarray(tp), np.asarray(tj),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_recompute_vjp_matches_autodiff_f32(rng):
+    """f32-isolated: the recompute custom VJP vs autodiff through the
+    recompute twin forward — backward math correctness."""
+    g, _, variables, params, running = _setup(rng)
+    b, s, k, c0 = g.shape
+    g2 = g.reshape(b * s * k, c0)
+
+    def loss_ref(p, x2):
+        out2, _, _ = fused_mlp._fwd_recompute(
+            x2, p, k=k, eps=BN_EPS, impl="jnp",
+            sdtype=jnp.float32, interpret=False)
+        return jnp.sum(out2 * out2)
+
+    def loss_fused(p, x):
+        out, _ = fused_mlp.fused_mlp_max(
+            x, p, running, train=True, eps=BN_EPS, impl="jnp",
+            sdtype=jnp.float32, mode="recompute")
+        return jnp.sum(out * out)
+
+    gp_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(params, g2)
+    gp_u, gx_u = jax.grad(loss_fused, argnums=(0, 1))(params, g)
+    xs = max(1.0, float(jnp.max(jnp.abs(gx_r))))
+    np.testing.assert_allclose(
+        np.asarray(gx_u).reshape(gx_r.shape), np.asarray(gx_r),
+        rtol=0, atol=1e-4 * xs)
+    for i in range(len(params)):
+        for got, want in zip(gp_u[i], gp_r[i]):
+            # +5e-4 absolute floor: db is analytically zero through a
+            # train-mode BN (bias shifts cancel in x̂), so both sides
+            # are pure roundoff there
+            scale = max(1.0, float(jnp.max(jnp.abs(want))))
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want),
+                rtol=0, atol=1e-4 * scale + 5e-4)
+
+
+def test_recompute_close_to_stream(rng):
+    """The two modes compute the same function (different storage
+    rounding: stream keeps bf16 activations, recompute keeps the
+    chain f32 in-register) — outputs within the bf16 band."""
+    g, _, _, params, running = _setup(rng)
+    a, ra = fused_mlp.fused_mlp_max(
+        g, params, running, train=True, eps=BN_EPS, impl="jnp",
+        mode="stream")
+    b_, rb = fused_mlp.fused_mlp_max(
+        g, params, running, train=True, eps=BN_EPS, impl="jnp",
+        mode="recompute")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               rtol=0, atol=5e-2)
+    for (ma, va), (mb, vb) in zip(ra, rb):
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb),
+                                   rtol=0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=0, atol=2e-3)

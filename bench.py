@@ -82,6 +82,62 @@ def bench_train_step(precision="fp32"):
     ) + (flops,)
 
 
+def bench_train_step_scanned(precision="fp32", k_small=8, k_large=32):
+    """Device-true SSG step time: K train steps scanned inside ONE jit
+    (``make_scan_train_step`` — the production ``train(scan_steps=K)``
+    path), per-step from the (k_large - k_small) slope of whole-call
+    times. Unlike per-call stepping this excludes the relay's
+    0.5-8 ms/call dispatch round-trip, which is not device work and
+    disappears in scanned training.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.models import init_model
+    from papc_tpu.train.trainer import (
+        create_train_state,
+        make_scan_train_step,
+    )
+    from papc_tpu.utils.timing import check_physical, fetch_forced_time
+
+    spec = init_model("pointnet2_ssg", "clas", num_classes=16)
+    rs = np.random.RandomState(0)
+    batch = {
+        "points": jnp.asarray(rs.randn(B, N, 3), jnp.float32),
+        "label": jnp.asarray(rs.randint(0, 16, size=(B,))),
+        "mask": jnp.ones((B,), bool),
+    }
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(spec, rng, batch)
+
+    def whole_call_time(k):
+        scan_step = make_scan_train_step(spec, k, precision=precision)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch
+        )
+        holder = {"s": state}
+
+        def call():
+            holder["s"], losses, _ = scan_step(
+                holder["s"], stacked, rng
+            )
+            return losses
+
+        res = fetch_forced_time(call, k_small=2, k_large=5, repeats=3)
+        return res.step_s
+
+    t_small = whole_call_time(k_small)
+    t_large = whole_call_time(k_large)
+    per_step = (t_large - t_small) / (k_large - k_small)
+    from papc_tpu.utils.timing import compiled_flops
+    from papc_tpu.train.trainer import make_train_step
+
+    train_step, _ = make_train_step(spec, precision=precision)
+    flops = compiled_flops(train_step, state, batch, rng)
+    mfu = check_physical(per_step, flops, f"ssg_scan_{precision}")
+    return per_step, mfu, flops
+
+
 def _kitti_cloud(n=120000):
     rs = np.random.RandomState(0)
     return np.stack(
@@ -422,11 +478,20 @@ def main():
         flush=True,
     )
     step_time, step_mfu, step_flops = bench_train_step()  # headline
-    pts_per_sec = B * N / step_time
-    epoch_time = step_time * (SHAPENET_TRAIN_SAMPLES // B)
     bf16 = safe(bench_train_step, precision="bf16",
                 default=(None, None, None))
     step_time_bf16, step_mfu_bf16, _ = bf16
+    # device-true scanned stepping (production train(scan_steps=K));
+    # headline throughput uses it when available — it IS the deployed
+    # fast path, and it excludes relay dispatch that is not device work
+    scanned = safe(bench_train_step_scanned, default=(None, None, None))
+    scan_time, scan_mfu, _ = scanned
+    scanned_bf16 = safe(bench_train_step_scanned, precision="bf16",
+                        default=(None, None, None))
+    scan_time_bf16, scan_mfu_bf16, _ = scanned_bf16
+    headline_time = scan_time if scan_time else step_time
+    pts_per_sec = B * N / headline_time
+    epoch_time = headline_time * (SHAPENET_TRAIN_SAMPLES // B)
     pp = safe(bench_pointpillars_step, default=(None, None, None))
     pp_step, pp_mfu, pp_infer = pp
     pp_bf16 = safe(
@@ -470,6 +535,10 @@ def main():
                     "step_flops": step_flops,
                     "step_ms_bf16": ms(step_time_bf16),
                     "step_bf16_mfu_pct": pct(step_mfu_bf16),
+                    "scan_step_ms": ms(scan_time),
+                    "scan_step_mfu_pct": pct(scan_mfu),
+                    "scan_step_ms_bf16": ms(scan_time_bf16),
+                    "scan_step_bf16_mfu_pct": pct(scan_mfu_bf16),
                     "pointnet2_ssg_epoch_sec": round(epoch_time, 2),
                     "pillarize_ms_per_frame": ms(pillarize_s),
                     "pillarize_kernel_ms_per_frame": ms(

@@ -289,10 +289,10 @@ def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
     """
 
     def fwd(g2, params):
-        if mode == "recompute":
+        if mode.startswith("recompute"):
             return _fwd_recompute(
                 g2, params, k=k, eps=eps, impl=impl, sdtype=sdtype,
-                interpret=interpret,
+                interpret=interpret, single=mode == "recompute1",
             )
         return _fwd_passes(
             g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
@@ -300,10 +300,10 @@ def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
         )
 
     def bwd(res, dout2):
-        if mode == "recompute":
+        if mode.startswith("recompute"):
             return _bwd_recompute(
                 res, dout2, k=k, impl=impl, sdtype=sdtype,
-                interpret=interpret,
+                interpret=interpret, single=mode == "recompute1",
             )
         return _bwd_passes(
             res, dout2, k=k, tm=tm, impl=impl, sdtype=sdtype,
@@ -323,7 +323,7 @@ def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
         res, _ = saved
         dout2, _ = cts  # batch mean/var outputs are stop-grad (flax ra)
         dg2, layer_grads = bwd(res, dout2)
-        ws = res[3] if mode == "recompute" else res[4]
+        ws = res[3] if mode.startswith("recompute") else res[4]
         dparams = tuple(
             (
                 dw.astype(ws[i].dtype),
@@ -526,15 +526,23 @@ def _jnp_rc_bwd_final(g2, dout, amax, vecs4, ws, bs, mus, *, k,
 
 # -------------------------------------- v2 orchestration (recompute)
 
-def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret):
+def _rc_module(single):
+    from papc_tpu.ops.pallas import samlp_single
+
+    return samlp_single if single else samlp
+
+
+def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret,
+                   single=False):
     m = g2.shape[0]
+    mod = _rc_module(single)
     ws = tuple(p[0] for p in params)
     bs = tuple(p[1] for p in params)
     vecs, stats = [], []
     for l in range(1, len(params) + 1):
         vecs2 = [v[:2] for v in vecs]
         if impl == "pallas":
-            sums = samlp.recompute_stats(
+            sums = mod.recompute_stats(
                 g2, vecs2, ws, bs, upto=l, interpret=interpret
             )
         else:
@@ -547,7 +555,7 @@ def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret):
         stats.append((mean, var))
     vecs2 = [v[:2] for v in vecs]
     if impl == "pallas":
-        out2, amax = samlp.recompute_final_max(
+        out2, amax = mod.recompute_final_max(
             g2, vecs2, ws, bs, k=k, interpret=interpret
         )
     else:
@@ -558,15 +566,17 @@ def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret):
     return out2, tuple(stats), res
 
 
-def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret):
+def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret,
+                   single=False):
     g2, vecs, amax, ws, bs = res
+    mod = _rc_module(single)
     m = g2.shape[0]
     n = len(ws)
     mus = [None] * n
     s_list = [None] * n
     for level in range(n, 0, -1):
         if impl == "pallas":
-            s = samlp.recompute_bwd_stats(
+            s = mod.recompute_bwd_stats(
                 g2, dout2, amax, vecs, ws, bs, mus, level=level, k=k,
                 interpret=interpret,
             )
@@ -578,7 +588,7 @@ def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret):
         s_list[level - 1] = s
         mus[level - 1] = s / m
     if impl == "pallas":
-        dg2, dws, dbs = samlp.recompute_bwd_final(
+        dg2, dws, dbs = mod.recompute_bwd_final(
             g2, dout2, amax, vecs, ws, bs, mus, k=k,
             interpret=interpret,
         )

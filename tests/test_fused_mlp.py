@@ -373,3 +373,28 @@ def test_recompute_close_to_stream(rng):
                                    rtol=0, atol=2e-3)
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                    rtol=0, atol=2e-3)
+
+
+def test_recompute1_single_launch_matches_recompute(rng):
+    """The single-launch (in-kernel DMA pipeline) recompute passes are
+    arithmetic twins of the grid recompute passes — fwd and grads
+    bitwise in interpret mode."""
+    g, _, _, params, running = _setup(rng)
+
+    def make_loss(mode, impl):
+        def loss(p, x):
+            out, _ = fused_mlp.fused_mlp_max(
+                x, p, running, train=True, eps=BN_EPS, impl=impl,
+                interpret=True, mode=mode)
+            return jnp.sum(out * out)
+        return loss
+
+    la = make_loss("recompute", "jnp")(params, g)
+    lb = make_loss("recompute1", "pallas")(params, g)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-6)
+    ga = jax.grad(make_loss("recompute", "jnp"), (0, 1))(params, g)
+    gb = jax.grad(make_loss("recompute1", "pallas"), (0, 1))(params, g)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-4)

@@ -115,7 +115,9 @@ def bench_train_step_scanned(precision="fp32", k_small=8, k_large=32):
         stacked = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch
         )
-        holder = {"s": state}
+        # fresh copy per window: the scanned step DONATES the state, so
+        # reusing the original buffers for the second K would fail
+        holder = {"s": jax.tree_util.tree_map(jnp.copy, state)}
 
         def call():
             holder["s"], losses, _ = scan_step(
@@ -213,9 +215,10 @@ def bench_device_pillarize():
     return _device_time(step, ks=(5, 20))[0]
 
 
-def bench_pointpillars_step(precision="fp32", measure_infer=True):
-    """Full-KITTI-scale PointPillars train step (B=2, 12k pillars,
-    432x496 BEV grid — the reference config's exact workload)."""
+def _pointpillars_fixture():
+    """Shared full-KITTI-scale fixture (B=2, 12k pillars, 432x496 BEV
+    grid — the reference config's exact workload): built network,
+    loss config, fresh train state, and one synthetic device batch."""
     import jax
     import jax.numpy as jnp
 
@@ -224,9 +227,7 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
         DEFAULT_CONFIG_PATH,
         cfg_from_yaml_file,
     )
-    from papc_tpu.detect.train import make_detection_train_step
     from papc_tpu.train.trainer import TrainState
-    from papc_tpu.utils.timing import compiled_flops
 
     cfg = cfg_from_yaml_file(DEFAULT_CONFIG_PATH)
     vg = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
@@ -279,10 +280,26 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
         batch_stats=variables.get("batch_stats", {}),
         tx=tx,
     )
+    return {
+        "cfg": cfg, "model": model, "loss_cfg": loss_cfg, "ta": ta,
+        "coder": coder, "state": state, "batch": batch, "Bd": Bd,
+    }
+
+
+def bench_pointpillars_step(precision="fp32", measure_infer=True):
+    """Per-call PointPillars train step at the reference workload
+    (fetch-forced; includes the relay's per-call dispatch cost)."""
+    from papc_tpu.detect import builders
+    from papc_tpu.detect.train import make_detection_train_step
+    from papc_tpu.utils.timing import compiled_flops
+
+    fx = _pointpillars_fixture()
+    model, loss_cfg, batch = fx["model"], fx["loss_cfg"], fx["batch"]
+    cfg, ta, coder, Bd = fx["cfg"], fx["ta"], fx["coder"], fx["Bd"]
     train_step, init_rm = make_detection_train_step(
         model, loss_cfg, precision=precision
     )
-    holder = {"s": state, "rm": init_rm()}
+    holder = {"s": fx["state"], "rm": init_rm()}
 
     def step():
         s, m, rm = train_step(holder["s"], batch, holder["rm"])
@@ -313,6 +330,65 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
 
     infer_t, _ = _device_time(istep, ks=(5, 20))
     return train_t, train_mfu, infer_t / Bd
+
+
+def bench_pointpillars_step_scanned(precision="fp32", k_small=2,
+                                    k_large=8):
+    """Device-true PointPillars step: K steps scanned inside ONE jit
+    (``make_scan_detection_train_step`` — the production
+    ``TRAIN_CONFIG.SCAN_STEPS`` path), per-step from the whole-call
+    slope. Excludes the relay's per-call dispatch round-trip. K kept
+    small: each stacked KITTI batch is ~38 MB of pillars."""
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.detect.train import (
+        make_detection_train_step,
+        make_scan_detection_train_step,
+    )
+    from papc_tpu.utils.timing import (
+        check_physical,
+        compiled_flops,
+        fetch_forced_time,
+    )
+
+    fx = _pointpillars_fixture()
+    model, loss_cfg, batch = fx["model"], fx["loss_cfg"], fx["batch"]
+    train_step, init_rm = make_detection_train_step(
+        model, loss_cfg, precision=precision
+    )
+    scan_step = make_scan_detection_train_step(
+        model, loss_cfg, precision=precision
+    )
+    # trace-only; do it before the windows donate the fixture state
+    flops = compiled_flops(train_step, fx["state"], batch, init_rm())
+
+    def whole_call_time(k):
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch
+        )
+        # fresh copy per window (the scanned step donates the state)
+        holder = {
+            "s": jax.tree_util.tree_map(jnp.copy, fx["state"]),
+            "rm": init_rm(),
+        }
+
+        def call():
+            holder["s"], mk, holder["rm"] = scan_step(
+                holder["s"], stacked, holder["rm"]
+            )
+            return mk["loss"]
+
+        res = fetch_forced_time(call, k_small=2, k_large=5, repeats=3)
+        return res.step_s
+
+    t_small = whole_call_time(k_small)
+    t_large = whole_call_time(k_large)
+    per_step = (t_large - t_small) / (k_large - k_small)
+    mfu = check_physical(
+        per_step, flops, f"pointpillars_scan_{precision}"
+    )
+    return per_step, mfu, flops
 
 
 def bench_fps_large_n():
@@ -499,6 +575,15 @@ def main():
         default=(None, None, None),
     )
     pp_step_bf16, pp_mfu_bf16, _ = pp_bf16
+    pp_scan = safe(
+        bench_pointpillars_step_scanned, default=(None, None, None)
+    )
+    pp_scan_step, pp_scan_mfu, _ = pp_scan
+    pp_scan_bf16 = safe(
+        bench_pointpillars_step_scanned, precision="bf16",
+        default=(None, None, None),
+    )
+    pp_scan_step_bf16, pp_scan_mfu_bf16, _ = pp_scan_bf16
     pillarize_s, pillarize_kernel_s = safe(
         bench_pillarize, default=(None, None)
     )
@@ -551,6 +636,14 @@ def main():
                     "pointpillars_step_mfu_pct": pct(pp_mfu),
                     "pointpillars_step_ms_bf16": ms(pp_step_bf16),
                     "pointpillars_bf16_mfu_pct": pct(pp_mfu_bf16),
+                    "pointpillars_scan_step_ms": ms(pp_scan_step),
+                    "pointpillars_scan_step_mfu_pct": pct(pp_scan_mfu),
+                    "pointpillars_scan_step_ms_bf16": ms(
+                        pp_scan_step_bf16
+                    ),
+                    "pointpillars_scan_bf16_mfu_pct": pct(
+                        pp_scan_mfu_bf16
+                    ),
                     "pointpillars_infer_ms_per_frame": ms(pp_infer),
                     "fps_16k_xla_ms": ms(fps_large.get("xla"), 2),
                     "fps_16k_pallas_ms": ms(fps_large.get("pallas"), 2),

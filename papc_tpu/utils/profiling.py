@@ -53,10 +53,11 @@ class StepTimer:
         if self._t0 is None:
             self._t0 = time.perf_counter()
 
-    def stop(self, *block_on, sync: bool | None = None):
-        """End one step. On sync steps, force a fetch and return the
-        window's per-step seconds; otherwise return None."""
-        self._pending += 1
+    def stop(self, *block_on, sync: bool | None = None, steps: int = 1):
+        """End one step (or a scanned call of ``steps`` steps). On sync
+        steps, force a fetch and return the window's per-step seconds;
+        otherwise return None."""
+        self._pending += steps
         if sync is None:
             sync = self._pending >= self.sync_every
         if not sync:

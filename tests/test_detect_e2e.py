@@ -121,6 +121,27 @@ def test_detection_train_and_eval(kitti_root, tiny_cfg, tmp_path):
     assert "3d   AP:" in result
 
 
+def test_detection_train_scan_steps(kitti_root, tiny_cfg, tmp_path):
+    """TRAIN_CONFIG.SCAN_STEPS=2: K steps run per jitted call
+    (lax.scan); an odd max_steps exercises the < K leftover fallback
+    to single stepping."""
+    from papc_tpu.detect.train import train
+
+    logs = []
+    state, _ = train(
+        cfg_file=tiny_cfg,
+        model_dir=str(tmp_path / "model"),
+        cfg_overrides=["TRAIN_CONFIG.SCAN_STEPS", "2"],
+        max_steps=5,
+        display_step=2,
+        eval_on_finish=False,
+        log=logs.append,
+    )
+    assert int(state.step) == 5
+    assert any("loss" in line for line in logs)
+    assert (tmp_path / "model" / "checkpoints.json").exists()
+
+
 def test_detection_train_device_pillarize(kitti_root, tiny_cfg, tmp_path):
     """DEVICE_PILLARIZE=true: raw clouds ship to device; pillarization
     happens inside the jitted step via ops.voxelize."""

@@ -78,6 +78,101 @@ def test_scan_equals_sequential():
         )
 
 
+def test_detection_scan_equals_sequential(rng):
+    """Scanned PointPillars steps == sequential stepping (state, metrics,
+    and the running-metric carry)."""
+    from papc_tpu.detect import builders
+    from papc_tpu.detect.config import (
+        DEFAULT_CONFIG_PATH,
+        cfg_from_yaml_file,
+    )
+    from papc_tpu.detect.train import (
+        make_detection_train_step,
+        make_scan_detection_train_step,
+    )
+    from papc_tpu.train.trainer import TrainState
+
+    cfg = cfg_from_yaml_file(DEFAULT_CONFIG_PATH)
+    cfg.VOXEL_GENERATOR.VOXEL_SIZE = [4.32, 4.96, 4]
+    cfg.VOXEL_GENERATOR.MAX_VOXELS = 32
+    vg = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
+    coder = builders.build_box_coder(cfg.BOX_CODER)
+    gen = cfg.TARGET_ASSIGNER.ANCHOR_GENERATORS[0].anchor_generator_stride
+    gen.strides = [8.64, 9.92, 0.0]
+    gen.offsets = [4.32, -34.72, -1.78]
+    ta = builders.build_target_assigner(cfg.TARGET_ASSIGNER, coder)
+    model = builders.build_network(cfg, vg, ta)
+    loss_cfg = builders.build_loss_config(cfg, ta)
+
+    B, V, P, K = 2, 32, 8, 3
+    grid = vg.grid_size
+    A = (grid[0] // 2) * (grid[1] // 2) * 2
+
+    def one_batch():
+        return {
+            "voxels": jnp.asarray(rng.randn(B, V, P, 4), jnp.float32),
+            "num_points": jnp.asarray(
+                rng.randint(1, P, (B, V)), jnp.int32),
+            "coordinates": jnp.asarray(
+                np.stack([np.zeros((B, V)),
+                          rng.randint(0, grid[1], (B, V)),
+                          rng.randint(0, grid[0], (B, V))], -1),
+                jnp.int32),
+            "anchors": jnp.asarray(np.tile(
+                np.array([0.0, 0, -1, 1.6, 3.9, 1.56, 0], np.float32),
+                (B, A, 1))),
+            "labels": jnp.asarray(rng.randint(-1, 2, (B, A)), jnp.int32),
+            "reg_targets": jnp.asarray(
+                rng.randn(B, A, 7) * 0.1, jnp.float32),
+        }
+
+    batches = [one_batch() for _ in range(K)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *batches
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), batches[0]["voxels"],
+        batches[0]["num_points"], batches[0]["coordinates"], train=False,
+    )
+
+    def fresh_state():
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables.get("batch_stats", {})),
+            tx=builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER),
+        )
+
+    step, init_rm = make_detection_train_step(model, loss_cfg)
+    scan_step = make_scan_detection_train_step(model, loss_cfg)
+
+    state_a, mk, rm_a = scan_step(fresh_state(), stacked, init_rm())
+    assert mk["loss"].shape == (K,)
+
+    state_b, rm_b = fresh_state(), init_rm()
+    seq_losses = []
+    for b in batches:
+        state_b, metrics, rm_b = step(state_b, b, rm_b)
+        seq_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(
+        np.asarray(mk["loss"]), seq_losses, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(rm_a["pr"].precision[2]), float(rm_b["pr"].precision[2]),
+        rtol=1e-6,
+    )
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     path = tmp_path_factory.mktemp("shapenet_scan")

@@ -741,14 +741,16 @@ void anchors_area_sat(const int32_t* coors, int64_t v, int64_t c,
 
 // ----------------------------------------------------- fused target assign
 // The nearest-IoU target-assignment core: per-anchor best-GT (max +
-// argmax), per-GT best overlap, and the force-match tie set — all in two
-// streaming passes over the [n, k] pair space, never materializing the
+// argmax), per-GT best overlap, and the force-match tie set — all in ONE
+// streaming pass over the [n, k] pair space, never materializing the
 // IoU matrix for python (whose per-row reduction overheads dominate the
-// prep profile at ~100k anchors x ~20 GT). Pass 2 recomputes each IoU
-// with IDENTICAL arithmetic, so the tie test (== column max) is
-// bit-exact. Ties keep the first index, matching numpy argmax; an anchor
-// tying several GTs is emitted once (the label write it feeds is
-// idempotent — it uses the anchor's own row argmax).
+// prep profile at ~100k anchors x ~20 GT). The force-match tie set
+// compares RECORDED pass-1 values against the merged column max (see
+// the comment above pass1) — no IoU is ever recomputed, so the tie test
+// cannot be broken by FP-contraction differences between loops. Ties
+// keep the first index, matching numpy argmax; an anchor tying several
+// GTs is emitted once (the label write it feeds is idempotent — it uses
+// the anchor's own row argmax).
 static inline float iou2d_one(const float* b, const float* q, double qarea,
                               double barea, float eps) {
   const double iw = std::min((double)b[2], (double)q[2]) -

@@ -592,7 +592,7 @@ def train(
                     _save(state, model_dir, step)
                     last_save = time.time()
                     step_timer.discard()
-                if steps_per_eval and step % steps_per_eval == 0:
+                if steps_per_eval and step % steps_per_eval < n_done:
                     # periodic eval + snapshot (the reference's eval loop
                     # is commented out wholesale — train.py:278-322)
                     _save(state, model_dir, step)

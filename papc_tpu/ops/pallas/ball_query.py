@@ -135,8 +135,10 @@ def query_ball_point_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas ball query: ``xyz [B, N, 3]``, ``new_xyz [B, S, 3]`` →
-    ``[B, S, nsample]`` int32, exactly matching
-    :func:`papc_tpu.ops.grouping.query_ball_point`."""
+    ``[B, S, nsample]`` int32, matching
+    :func:`papc_tpu.ops.grouping.query_ball_point` (up to membership
+    exactly AT the radius boundary, which can differ by an ulp — see
+    the module docstring)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     TN = min(512, ((N + 127) // 128) * 128)  # lane-aligned point tiles

@@ -34,6 +34,10 @@ parser.add_argument("--precision", type=str, default="fp32",
                     choices=["fp32", "bf16"],
                     help="bf16 runs forward/backward in bfloat16 "
                          "(fp32 master params/optimizer state)")
+parser.add_argument("--scan_steps", type=int, default=1,
+                    help="K>1 runs K train steps per jitted call "
+                         "(lax.scan) — amortizes per-call dispatch; "
+                         "the device runs steps back-to-back")
 parser.add_argument("--evaluate", action="store_true",
                     help="evaluate --checkpoint on the test split instead of training")
 parser.add_argument("--checkpoint", type=str, default=None)
@@ -71,4 +75,5 @@ if __name__ == "__main__":
         model_dir=args.model_dir,
         seed=args.seed,
         precision=args.precision,
+        scan_steps=args.scan_steps,
     )

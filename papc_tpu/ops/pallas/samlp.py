@@ -93,6 +93,19 @@ def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
     tm = max(step, (t // step) * step)
     while tm > step and m % tm:
         tm -= step
+    if m % tm:
+        # no multiple of 256 divides m (e.g. m = 16000): fall back to
+        # 8-row strides — the grid MUST cover every row exactly, or
+        # tail rows stay uninitialized (streamed passes) / fall out of
+        # the accumulated sums (stats passes)
+        tm = max(8, (min(t, m) // 8) * 8)
+        while tm > 8 and m % tm:
+            tm -= 8
+    if m % tm:
+        raise ValueError(
+            f"pass_tile: no valid tile for m={m} k={k} of_k={of_k} "
+            "(callers must pass 8-row-aligned group counts)"
+        )
     return tm
 
 

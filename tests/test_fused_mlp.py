@@ -375,6 +375,32 @@ def test_recompute_close_to_stream(rng):
                                    rtol=0, atol=2e-3)
 
 
+def test_recompute1_odd_dims_matches_jnp(rng):
+    """recompute1 at SA2-flavored awkward dims: channel counts that are
+    not lane multiples (19 -> 24 -> 40) and a K=16 max group; exercises
+    lane padding in the chunk model and ck = ch/k output streaming."""
+    g, _, _, params, running = _setup(
+        rng, feats=(24, 40), shape=(2, 8, 16, 19))
+
+    def loss(mode, impl):
+        def f(p, x):
+            out, _ = fused_mlp.fused_mlp_max(
+                x, p, running, train=True, eps=BN_EPS, impl=impl,
+                interpret=True, mode=mode)
+            return jnp.sum(out * out)
+        return f
+
+    la = loss("recompute", "jnp")(params, g)
+    lb = loss("recompute1", "pallas")(params, g)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-6)
+    ga = jax.grad(loss("recompute", "jnp"), (0, 1))(params, g)
+    gb = jax.grad(loss("recompute1", "pallas"), (0, 1))(params, g)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_recompute1_single_launch_matches_recompute(rng):
     """The single-launch (in-kernel DMA pipeline) recompute passes are
     arithmetic twins of the grid recompute passes — fwd and grads
@@ -398,3 +424,30 @@ def test_recompute1_single_launch_matches_recompute(rng):
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["stream", "recompute", "recompute1"])
+def test_row_counts_not_divisible_by_256(rng, mode):
+    """PFN-flavored shapes: K=100 groups and a row count (16000) that
+    no multiple of 256 divides. pass_tile must still cover every row —
+    the old 256-stride-only search left tail rows uninitialized
+    (stream: NaN) or out of the accumulated stats (recompute: silently
+    wrong variance)."""
+    g, _, _, params, running = _setup(
+        rng, feats=(64,), shape=(2, 80, 100, 9))
+
+    def loss(impl, md):
+        def f(p, x):
+            out, _ = fused_mlp.fused_mlp_max(
+                x, p, running, train=True, eps=BN_EPS, impl=impl,
+                interpret=True, mode=md)
+            return jnp.sum(out * out)
+        return f
+
+    la = loss("jnp", "stream")(params, g)
+    lb = loss("pallas", mode)(params, g)
+    assert bool(jnp.isfinite(lb))
+    np.testing.assert_allclose(float(lb), float(la), rtol=2e-4)
+    gb = jax.grad(loss("pallas", mode), (0, 1))(params, g)
+    for leaf in jax.tree_util.tree_leaves(gb):
+        assert bool(jnp.isfinite(leaf).all())

@@ -7,8 +7,8 @@ PointPillarsScatter), ``models/bones/rpn.py`` (SECOND-style 3-block RPN),
 TPU-native differences:
   * pillars are batched per sample ``[B, V, P, D]`` (the reference flattens
     the batch into one voxel list with a batch-index coordinate column);
-  * the scatter is one vmapped ``.at[].set`` instead of a per-item numpy
-    round-trip (reference ``pillars.py:121-142``);
+  * the scatter is ONE flat indexed-set over batch-folded rows instead
+    of a per-item numpy round-trip (reference ``pillars.py:121-142``);
   * NHWC layout; BN epsilons/momenta match the reference (1e-3 / 0.01).
 """
 
@@ -20,14 +20,22 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from papc_tpu.ops.voxelize import scatter_to_bev
+from papc_tpu.ops.voxelize import scatter_to_bev_batched
 
 PFN_BN = dict(momentum=0.01, epsilon=1e-3)
 
 
 class PFNLayer(nn.Module):
     """Linear(no bias)→BN→ReLU→max over points; non-final layers concat
-    the max back per point (reference ``pillars.py:9-41``)."""
+    the max back per point (reference ``pillars.py:9-41``).
+
+    The final layer is the Dense→BN→ReLU→max chain the fused SA-MLP
+    block (:mod:`papc_tpu.ops.fused_mlp`) was built for, and at the
+    production pillar workload ([2, 12000, 100, 9→64]) the op-by-op
+    program's BatchNorm broadcasts dominate the WHOLE train step's HBM
+    traffic (~20 of 33 GB/step in the compiled HLO) — so on TPU the
+    last layer routes through the fused passes (same params/stats tree,
+    same analytic-BN gradients; intermediate activations bf16)."""
 
     units: int
     last_layer: bool = False
@@ -35,11 +43,45 @@ class PFNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        from papc_tpu.nn.layers import _BNParams, _DenseParams
+        from papc_tpu.ops import fused_mlp
+
         # x: [B, V, P, C]
         units = self.units if self.last_layer else self.units // 2
-        x = nn.Dense(units, use_bias=not self.use_norm)(x)
+        use_fused = (
+            self.last_layer
+            and self.use_norm
+            and not self.is_initializing()
+            and fused_mlp.enabled(x.shape, (units,))
+        )
+        if use_fused:
+            # param-twin modules pick up the SAME subtree the classic
+            # branch creates (child names match; no-bias Dense)
+            kernel, dbias = _DenseParams(
+                units, x.shape[-1], use_bias=False, name="Dense_0"
+            )()
+            scale, bbias, rm, rv = _BNParams(units, name="BatchNorm_0")()
+            out, new_running = fused_mlp.fused_mlp_max(
+                x,
+                ((kernel, dbias, scale, bbias),),
+                ((rm.value, rv.value),),
+                train=train,
+                momentum=PFN_BN["momentum"],
+                eps=PFN_BN["epsilon"],
+                **fused_mlp.call_opts(),
+            )
+            if train:
+                rm.value, rv.value = new_running[0]
+            return out[:, :, None, :]  # [B, V, 1, units]
+
+        x = nn.Dense(
+            units, use_bias=not self.use_norm, name="Dense_0"
+        )(x)
         if self.use_norm:
-            x = nn.BatchNorm(use_running_average=not train, **PFN_BN)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, name="BatchNorm_0",
+                **PFN_BN,
+            )(x)
         x = nn.relu(x)
         x_max = jnp.max(x, axis=2, keepdims=True)  # [B, V, 1, units]
         if self.last_layer:
@@ -109,16 +151,18 @@ class PillarFeatureNet(nn.Module):
 
 class PointPillarsScatter(nn.Module):
     """Scatter pillar features to the dense BEV canvas → [B, ny, nx, C]
-    (reference ``pillars.py:110-142``; here one vmapped indexed-set)."""
+    (reference ``pillars.py:110-142``; here ONE flat indexed-set over
+    batch-folded rows — see ``scatter_to_bev_batched`` for why not
+    ``vmap``)."""
 
     ny: int
     nx: int
 
     @nn.compact
     def __call__(self, voxel_features, coords):
-        return jax.vmap(
-            lambda f, c: scatter_to_bev(f, c, self.ny, self.nx)
-        )(voxel_features, coords)
+        return scatter_to_bev_batched(
+            voxel_features, coords, self.ny, self.nx
+        )
 
 
 class _ConvBlock(nn.Module):

@@ -29,11 +29,14 @@ BN_EPS = 1e-5
 
 class _DenseParams(nn.Module):
     """Parameter-only twin of ``nn.Dense`` (same names, shapes, inits)
-    so :class:`PointMLP` can route compute through either the classic
-    per-op path or the fused Pallas block while keeping ONE param tree."""
+    so :class:`PointMLP` (and the detection PFN) can route compute
+    through either the classic per-op path or the fused Pallas block
+    while keeping ONE param tree. ``use_bias=False`` mirrors
+    ``nn.Dense(use_bias=False)`` (no bias param) and returns zeros."""
 
     features: int
     in_features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
@@ -42,9 +45,12 @@ class _DenseParams(nn.Module):
             nn.initializers.lecun_normal(),
             (self.in_features, self.features),
         )
-        bias = self.param(
-            "bias", nn.initializers.zeros_init(), (self.features,)
-        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,)
+            )
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
         return kernel, bias
 
 

@@ -14,7 +14,12 @@ from papc_tpu.ops.interpolate import three_nn_interpolate
 from papc_tpu.ops.iou import box5_to_corners, iou_2d, rotate_iou
 from papc_tpu.ops.nms import greedy_suppress, nms, rotate_nms
 from papc_tpu.ops.sampling import farthest_point_sample
-from papc_tpu.ops.voxelize import VoxelizedPoints, scatter_to_bev, voxelize
+from papc_tpu.ops.voxelize import (
+    VoxelizedPoints,
+    scatter_to_bev,
+    scatter_to_bev_batched,
+    voxelize,
+)
 
 __all__ = [
     "square_distance",
@@ -29,6 +34,7 @@ __all__ = [
     "three_nn_interpolate",
     "voxelize",
     "scatter_to_bev",
+    "scatter_to_bev_batched",
     "VoxelizedPoints",
     "iou_2d",
     "rotate_iou",

@@ -124,3 +124,37 @@ def scatter_to_bev(
         jnp.where(valid[:, None], features, 0.0)
     )
     return canvas[: ny * nx].reshape(ny, nx, C)
+
+
+def scatter_to_bev_batched(
+    features: jax.Array,  # [B, V, C] per-voxel features
+    coords: jax.Array,  # [B, V, 3] (z, y, x); invalid rows < 0
+    ny: int,
+    nx: int,
+) -> jax.Array:
+    """Batched BEV scatter → ``[B, ny, nx, C]``.
+
+    NOT ``vmap(scatter_to_bev)``: vmapping the indexed-set makes XLA
+    emit a batched scatter whose transpose is a batched gather — the
+    exact form that hits minute-scale TPU compiles and a ~5× slower
+    kernel (see CLAUDE.md). Instead the batch is folded into the row
+    index (``b·ny·nx + y·nx + x``) so both the forward scatter and its
+    transpose gather are FLAT 1-D row operations on a ``[B·ny·nx+1, C]``
+    canvas — the sanctioned ``arr.reshape(B*N, C)[rows]`` form.
+
+    Voxel coords are unique per sample by construction, so the
+    set-scatter has no duplicate rows except the shared dump row, whose
+    cotangent is identically zero (it is sliced off before the reshape).
+    """
+    B, V, C = features.shape
+    valid = coords[:, :, 0] >= 0
+    cells = ny * nx
+    base = jnp.arange(B, dtype=jnp.int32)[:, None] * cells
+    rows = jnp.where(
+        valid, base + coords[:, :, 1] * nx + coords[:, :, 2], B * cells
+    ).reshape(B * V)
+    canvas = jnp.zeros((B * cells + 1, C), features.dtype)
+    canvas = canvas.at[rows].set(
+        jnp.where(valid[..., None], features, 0.0).reshape(B * V, C)
+    )
+    return canvas[: B * cells].reshape(B, ny, nx, C)

@@ -148,6 +148,50 @@ class TestScatter:
         np.testing.assert_allclose(np.asarray(canvas[3, 0]), [3, 4])
         assert float(jnp.abs(canvas).sum()) == 10.0
 
+    def test_batched_matches_vmap(self):
+        """scatter_to_bev_batched (flat batch-folded rows) ≡
+        vmap(scatter_to_bev) — values AND gradients."""
+        import jax
+
+        from papc_tpu.ops.voxelize import scatter_to_bev_batched
+
+        rng = np.random.default_rng(0)
+        B, V, C, ny, nx = 3, 17, 5, 6, 4
+        feats = jnp.asarray(rng.normal(size=(B, V, C)), jnp.float32)
+        coords = np.stack(
+            [
+                np.zeros((B, V), np.int64),
+                rng.integers(0, ny, (B, V)),
+                rng.integers(0, nx, (B, V)),
+            ],
+            axis=-1,
+        )
+        # de-duplicate cells per sample (coords are unique by
+        # construction in the real pipeline) and invalidate a tail
+        for b in range(B):
+            lin = coords[b, :, 1] * nx + coords[b, :, 2]
+            _, first = np.unique(lin, return_index=True)
+            dup = np.setdiff1d(np.arange(V), first)
+            coords[b, dup] = -1
+        coords[:, -3:] = -1
+        coords = jnp.asarray(coords, jnp.int32)
+
+        def loss_a(f):
+            out = scatter_to_bev_batched(f, coords, ny, nx)
+            return jnp.sum(out * out), out
+
+        def loss_b(f):
+            out = jax.vmap(
+                lambda fe, co: scatter_to_bev(fe, co, ny, nx)
+            )(f, coords)
+            return jnp.sum(out * out), out
+
+        (la, oa), ga = jax.value_and_grad(loss_a, has_aux=True)(feats)
+        (lb, ob), gb = jax.value_and_grad(loss_b, has_aux=True)(feats)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob))
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb))
+
 
 def test_bev_map():
     pts = np.array(

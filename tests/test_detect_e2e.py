@@ -301,3 +301,102 @@ def test_detection_resume_from_checkpoint(tiny_cfg, tmp_path):
     )
     assert int(state2.step) == 8
     assert any("resumed from step 4" in str(line) for line in logs)
+
+
+def test_3class_config_builds_and_trains(tmp_path):
+    """The shipped 3-class experiment (pointpillars_kitti_3class.yaml):
+    three per-class anchor generators concatenate (6 anchors/location,
+    per-anchor matched/unmatched thresholds), NUM_CLASS=3 heads build,
+    a train step runs with 3-class labels, and predict routes through
+    the multiclass (per-class NMS) branch the config turns on."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.detect import builders
+    from papc_tpu.detect.config import cfg_from_yaml_file
+    from papc_tpu.detect.train import (
+        make_detection_train_step,
+        make_predict_step,
+    )
+    from papc_tpu.train.trainer import TrainState
+
+    cfg_path = (
+        pathlib.Path(__file__).parent.parent
+        / "papc_tpu/detect/configs/pointpillars_kitti_3class.yaml"
+    )
+    cfg = cfg_from_yaml_file(str(cfg_path))
+    assert list(cfg.CLASS_NAMES) == ["Car", "Pedestrian", "Cyclist"]
+
+    # shrink to a tiny grid for CI
+    cfg.VOXEL_GENERATOR.VOXEL_SIZE = [4.32, 4.96, 4]
+    cfg.VOXEL_GENERATOR.MAX_VOXELS = 32
+    for g in cfg.TARGET_ASSIGNER.ANCHOR_GENERATORS:
+        gen = g.anchor_generator_stride
+        gen.strides = [8.64, 9.92, 0.0]
+        gen.offsets = [4.32, -34.72, gen.offsets[2]]
+
+    vg = builders.build_voxel_generator(cfg.VOXEL_GENERATOR)
+    coder = builders.build_box_coder(cfg.BOX_CODER)
+    ta = builders.build_target_assigner(cfg.TARGET_ASSIGNER, coder)
+    model = builders.build_network(cfg, vg, ta)
+    loss_cfg = builders.build_loss_config(cfg, ta)
+    predict_cfg = builders.build_predict_config(cfg, ta)
+    assert predict_cfg.multiclass_nms
+    assert predict_cfg.num_class == 3
+    assert ta.num_anchors_per_location == 6
+
+    grid = vg.grid_size
+    fmap = [1, grid[1] // 2, grid[0] // 2]
+    ret = ta.generate_anchors(fmap)
+    anchors_np = ret["anchors"].reshape(-1, 7)
+    A = anchors_np.shape[0]
+    assert A == fmap[1] * fmap[2] * 6
+    # per-anchor thresholds follow their generator
+    np.testing.assert_allclose(
+        np.unique(ret["matched_thresholds"]), [0.5, 0.6])
+
+    rng = np.random.RandomState(0)
+    B, V, P = 2, 32, 8
+    batch = {
+        "voxels": jnp.asarray(rng.randn(B, V, P, 4), jnp.float32),
+        "num_points": jnp.asarray(
+            rng.randint(1, P, (B, V)), jnp.int32),
+        "coordinates": jnp.asarray(
+            np.stack([np.zeros((B, V)),
+                      rng.randint(0, grid[1], (B, V)),
+                      rng.randint(0, grid[0], (B, V))], -1),
+            jnp.int32),
+        "anchors": jnp.asarray(np.tile(anchors_np[None], (B, 1, 1))),
+        "labels": jnp.asarray(rng.randint(-1, 4, (B, A)), jnp.int32),
+        "reg_targets": jnp.asarray(
+            rng.randn(B, A, 7) * 0.1, jnp.float32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["voxels"], batch["num_points"],
+        batch["coordinates"], train=False,
+    )
+    # 3-class head widths (6 anchors/loc)
+    out = model.apply(variables, batch["voxels"], batch["num_points"],
+                      batch["coordinates"], train=False)
+    assert out["cls_preds"].shape[-1] == 6 * 3
+
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER),
+    )
+    step, init_rm = make_detection_train_step(model, loss_cfg)
+    state, metrics, _ = step(state, batch, init_rm())
+    assert np.isfinite(float(metrics["loss"]))
+
+    predict_step = make_predict_step(model, predict_cfg, coder)
+    dets = predict_step(state, batch)
+    post = predict_cfg.nms_post_max_size
+    assert dets["box3d_lidar"].shape == (B, post, 7)
+    assert dets["label_preds"].shape == (B, post)
+    # class labels stay in range
+    lp = np.asarray(dets["label_preds"])[np.asarray(dets["valid"])]
+    assert lp.size == 0 or (0 <= lp.min() and lp.max() <= 2)

@@ -43,6 +43,7 @@ Wrapped with a custom VJP and numerics-mirroring jnp twin in
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,11 @@ def choose_tile(m: int, k: int, target: int = 2048) -> int:
 # on the streamed blocks).
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+# On-chip tuning knob: override the pass_tile row target without code
+# edits (grid-step overhead is ~6 µs/step, so fatter tiles win until
+# the VMEM cap — A/B on the chip, then bake the winner in).
+_TILE_TARGET = int(os.environ.get("PAPC_SAMLP_TILE_TARGET", "0"))
+
 
 def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
               target: int = 4096) -> int:
@@ -86,7 +92,7 @@ def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
     K-group when it matters.
     """
     cap = max(1, _VMEM_BUDGET // max(1, bytes_per_row))
-    t = min(target, cap)
+    t = min(_TILE_TARGET or target, cap)
     # of_k passes emit [tm//k, C] blocks: Mosaic wants the row dim
     # divisible by 8, so tiles advance in strides of 8 K-groups
     step = 8 * k if of_k else min(256, m)

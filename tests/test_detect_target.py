@@ -138,3 +138,69 @@ def test_similarity_calculators_smoke():
         m = sim.compare(boxes, boxes)
         assert m.shape == (2, 2)
         assert m[0, 0] >= m[0, 1]
+
+
+def test_multiclass_assign_per_generator_thresholds():
+    """Three per-class generators (the 3-class experiment's layout):
+    anchors concatenate with per-anchor thresholds, and a GT of each
+    class turns its own class's exactly-matching anchor positive with
+    the right label (1=Car, 2=Pedestrian, 3=Cyclist)."""
+    gens = [
+        AnchorGeneratorStride(
+            sizes=[1.6, 3.9, 1.56], anchor_strides=[1.0, 1.0, 0.0],
+            anchor_offsets=[0.5, 0.5, -1.0], rotations=[0, np.pi / 2],
+            match_threshold=0.6, unmatch_threshold=0.45,
+            class_id="Car",
+        ),
+        AnchorGeneratorStride(
+            sizes=[0.6, 0.8, 1.73], anchor_strides=[1.0, 1.0, 0.0],
+            anchor_offsets=[0.5, 0.5, -0.6], rotations=[0, np.pi / 2],
+            match_threshold=0.5, unmatch_threshold=0.35,
+            class_id="Pedestrian",
+        ),
+        AnchorGeneratorStride(
+            sizes=[0.6, 1.76, 1.73], anchor_strides=[1.0, 1.0, 0.0],
+            anchor_offsets=[0.5, 0.5, -0.6], rotations=[0, np.pi / 2],
+            match_threshold=0.5, unmatch_threshold=0.35,
+            class_id="Cyclist",
+        ),
+    ]
+    assigner = TargetAssigner(
+        box_coder=GroundBox3dCoder(),
+        anchor_generators=gens,
+        region_similarity_calculator=NearestIouSimilarity(),
+    )
+    fmap = [1, 4, 4]
+    ret = assigner.generate_anchors(fmap)
+    anchors = ret["anchors"].reshape(-1, 7)
+    assert assigner.num_anchors_per_location == 6
+    A = anchors.shape[0]
+    assert A == 4 * 4 * 6
+    # thresholds follow their generator through the concat
+    mt = ret["matched_thresholds"]
+    assert mt.shape == (A,)
+    np.testing.assert_allclose(np.unique(mt), [0.5, 0.6])
+
+    # one GT per class, each copied from an anchor OF THAT CLASS.
+    # anchors layout: [y, x, 2(rot), 7] per generator, concatenated on
+    # the anchor axis -> per-location blocks [car0 car90 ped0 ped90 ...]
+    per_loc = anchors.reshape(-1, 6, 7)
+    gt = np.stack(
+        [per_loc[5, 0], per_loc[9, 2], per_loc[13, 4]]
+    ).astype(np.float32)
+    out = assigner.assign(
+        anchors, gt,
+        matched_thresholds=ret["matched_thresholds"],
+        unmatched_thresholds=ret["unmatched_thresholds"],
+        gt_classes=np.array([1, 2, 3], np.int32),
+        rng=np.random.RandomState(0),
+    )
+    labels = out["labels"].reshape(-1, 6)
+    assert labels[5, 0] == 1   # Car anchor matched the Car GT
+    assert labels[9, 2] == 2   # Pedestrian anchor
+    assert labels[13, 4] == 3  # Cyclist anchor
+    # exact matches encode to zero targets
+    tgt = out["bbox_targets"].reshape(-1, 6, 7)
+    np.testing.assert_allclose(tgt[5, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(tgt[9, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(tgt[13, 4], 0.0, atol=1e-6)

@@ -532,21 +532,10 @@ def _rc_module(single):
     return samlp_single if single else samlp
 
 
-def _stream_input(g2, single, impl):
-    """The single-launch kernels only read the streamed input through
-    bf16 dots (every ``x`` use is ``astype(bf16)``), so streaming it
-    as bf16 is bitwise identical while halving the input DMA traffic
-    and double-buffer footprint."""
-    if single and impl == "pallas" and g2.dtype == _F32:
-        return g2.astype(_BF16)
-    return g2
-
-
 def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret,
                    single=False):
     m = g2.shape[0]
     mod = _rc_module(single)
-    gs = _stream_input(g2, single, impl)
     ws = tuple(p[0] for p in params)
     bs = tuple(p[1] for p in params)
     vecs, stats = [], []
@@ -554,7 +543,7 @@ def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret,
         vecs2 = [v[:2] for v in vecs]
         if impl == "pallas":
             sums = mod.recompute_stats(
-                gs, vecs2, ws, bs, upto=l, interpret=interpret
+                g2, vecs2, ws, bs, upto=l, interpret=interpret
             )
         else:
             sums = _jnp_rc_stats(
@@ -567,7 +556,7 @@ def _fwd_recompute(g2, params, *, k, eps, impl, sdtype, interpret,
     vecs2 = [v[:2] for v in vecs]
     if impl == "pallas":
         out2, amax = mod.recompute_final_max(
-            gs, vecs2, ws, bs, k=k, interpret=interpret
+            g2, vecs2, ws, bs, k=k, interpret=interpret
         )
     else:
         out2, amax = _jnp_rc_final(
@@ -581,7 +570,6 @@ def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret,
                    single=False):
     g2, vecs, amax, ws, bs = res
     mod = _rc_module(single)
-    gs = _stream_input(g2, single, impl)
     m = g2.shape[0]
     n = len(ws)
     mus = [None] * n
@@ -589,7 +577,7 @@ def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret,
     for level in range(n, 0, -1):
         if impl == "pallas":
             s = mod.recompute_bwd_stats(
-                gs, dout2, amax, vecs, ws, bs, mus, level=level, k=k,
+                g2, dout2, amax, vecs, ws, bs, mus, level=level, k=k,
                 interpret=interpret,
             )
         else:
@@ -601,7 +589,7 @@ def _bwd_recompute(res, dout2, *, k, impl, sdtype, interpret,
         mus[level - 1] = s / m
     if impl == "pallas":
         dg2, dws, dbs = mod.recompute_bwd_final(
-            gs, dout2, amax, vecs, ws, bs, mus, k=k,
+            g2, dout2, amax, vecs, ws, bs, mus, k=k,
             interpret=interpret,
         )
     else:

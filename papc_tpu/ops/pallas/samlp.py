@@ -70,10 +70,14 @@ def choose_tile(m: int, k: int, target: int = 2048) -> int:
 # on the streamed blocks).
 _VMEM_BUDGET = 12 * 1024 * 1024
 
-# On-chip tuning knob: override the pass_tile row target without code
-# edits (grid-step overhead is ~6 µs/step, so fatter tiles win until
-# the VMEM cap — A/B on the chip, then bake the winner in).
-_TILE_TARGET = int(os.environ.get("PAPC_SAMLP_TILE_TARGET", "0"))
+def _tile_target_override() -> int:
+    """On-chip tuning knob: override the pass_tile row target without
+    code edits (grid-step overhead is ~6 µs/step, so fatter tiles win
+    until the VMEM cap — A/B on the chip, then bake the winner in).
+    Read at TRACE time, not import, so one process can interleave
+    candidates (set the env var between building jitted programs —
+    cross-process comparisons are meaningless through the relay)."""
+    return int(os.environ.get("PAPC_SAMLP_TILE_TARGET", "0"))
 
 
 def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
@@ -92,18 +96,21 @@ def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
     K-group when it matters.
     """
     cap = max(1, _VMEM_BUDGET // max(1, bytes_per_row))
-    t = min(_TILE_TARGET or target, cap)
+    t = min(_tile_target_override() or target, cap)
     # of_k passes emit [tm//k, C] blocks: Mosaic wants the row dim
     # divisible by 8, so tiles advance in strides of 8 K-groups
     step = 8 * k if of_k else min(256, m)
     tm = max(step, (t // step) * step)
     while tm > step and m % tm:
         tm -= step
-    if m % tm:
+    if m % tm and not of_k:
         # no multiple of 256 divides m (e.g. m = 16000): fall back to
         # 8-row strides — the grid MUST cover every row exactly, or
         # tail rows stay uninitialized (streamed passes) / fall out of
-        # the accumulated sums (stats passes)
+        # the accumulated sums (stats passes). of_k passes get NO such
+        # fallback: their tiles must stay multiples of 8*k (output
+        # blocks and max groups are K-group aligned), so a non-dividing
+        # 8*k stride falls through to the raise below.
         tm = max(8, (min(t, m) // 8) * 8)
         while tm > 8 and m % tm:
             tm -= 8

@@ -48,6 +48,14 @@ def _choose_chunk(m, k, cols, budget=10 * 1024 * 1024,
     ch = max(step, (t // step) * step)
     while ch > step and m % ch:
         ch -= step
+    if m % ch:
+        # the in-kernel loop runs m // ch chunks: a non-dividing chunk
+        # would silently drop tail rows from the accumulated stats and
+        # leave their output groups uninitialized
+        raise ValueError(
+            f"_choose_chunk: no 8*k-aligned chunk divides m={m} "
+            f"(k={k}) — callers must pass 8-row-aligned group counts"
+        )
     return ch
 
 

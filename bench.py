@@ -98,7 +98,11 @@ def bench_train_step_scanned(precision="fp32", k_small=8, k_large=32):
         create_train_state,
         make_scan_train_step,
     )
-    from papc_tpu.utils.timing import check_physical, fetch_forced_time
+    from papc_tpu.utils.timing import (
+        check_physical,
+        fetch_forced_time,
+        scan_slope,
+    )
 
     spec = init_model("pointnet2_ssg", "clas", num_classes=16)
     rs = np.random.RandomState(0)
@@ -128,16 +132,14 @@ def bench_train_step_scanned(precision="fp32", k_small=8, k_large=32):
         res = fetch_forced_time(call, k_small=2, k_large=5, repeats=3)
         return res.step_s
 
-    t_small = whole_call_time(k_small)
-    t_large = whole_call_time(k_large)
-    per_step = (t_large - t_small) / (k_large - k_small)
+    res = scan_slope(whole_call_time, k_small, k_large)
     from papc_tpu.utils.timing import compiled_flops
     from papc_tpu.train.trainer import make_train_step
 
     train_step, _ = make_train_step(spec, precision=precision)
     flops = compiled_flops(train_step, state, batch, rng)
-    mfu = check_physical(per_step, flops, f"ssg_scan_{precision}")
-    return per_step, mfu, flops
+    mfu = check_physical(res.step_s, flops, f"ssg_scan_{precision}")
+    return res.step_s, mfu, flops
 
 
 def _kitti_cloud(n=120000):
@@ -350,6 +352,7 @@ def bench_pointpillars_step_scanned(precision="fp32", k_small=2,
         check_physical,
         compiled_flops,
         fetch_forced_time,
+        scan_slope,
     )
 
     fx = _pointpillars_fixture()
@@ -382,13 +385,11 @@ def bench_pointpillars_step_scanned(precision="fp32", k_small=2,
         res = fetch_forced_time(call, k_small=2, k_large=5, repeats=3)
         return res.step_s
 
-    t_small = whole_call_time(k_small)
-    t_large = whole_call_time(k_large)
-    per_step = (t_large - t_small) / (k_large - k_small)
+    res = scan_slope(whole_call_time, k_small, k_large)
     mfu = check_physical(
-        per_step, flops, f"pointpillars_scan_{precision}"
+        res.step_s, flops, f"pointpillars_scan_{precision}"
     )
-    return per_step, mfu, flops
+    return res.step_s, mfu, flops
 
 
 def bench_fps_large_n():

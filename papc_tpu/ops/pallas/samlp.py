@@ -55,16 +55,6 @@ _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
 
-def choose_tile(m: int, k: int, target: int = 2048) -> int:
-    """Rows per grid step: a multiple of ``k`` (so max-groups never
-    straddle tiles) that divides ``m``, as close to ``target`` as
-    possible. ``k`` itself always qualifies (m = B*S*k)."""
-    tm = max(k, (target // k) * k)
-    while tm > k and m % tm:
-        tm -= k
-    return tm
-
-
 # Scoped-VMEM budget per pallas_call (chip limit 16 MB; leave room for
 # double-buffered pipelining, which the estimate below folds in at 2x
 # on the streamed blocks).

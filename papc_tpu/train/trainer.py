@@ -187,6 +187,16 @@ def make_scan_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def scan_train_step(state: TrainState, stacked_batch: dict, rng):
+        # lax.scan takes K from the stacked batch; enforce the declared
+        # contract so step accounting (train() counts scan_steps done
+        # per call) can never silently drift from the executed count.
+        for leaf in jax.tree_util.tree_leaves(stacked_batch):
+            if leaf.shape[0] != scan_steps:
+                raise ValueError(
+                    f"stacked batch leading axis {leaf.shape[0]} != "
+                    f"scan_steps={scan_steps}"
+                )
+
         def body(carry, batch):
             st, r = carry
             r, sub = jax.random.split(r)

@@ -129,6 +129,35 @@ def fetch_forced_time(
     return TimingResult(slope, "k-slope", k_small, k_large, ws, wl)
 
 
+def scan_slope(time_for_k, k_small: int, k_large: int) -> TimingResult:
+    """Per-step time from whole-call times of K-step scanned programs.
+
+    ``time_for_k(k)`` returns the (already fetch-forced, best-of) whole
+    call time of a program that runs ``k`` steps inside one jit. The
+    per-step estimate is the slope between the two K's — constant
+    per-call overhead (dispatch, fetch) cancels. Shares
+    :func:`fetch_forced_time`'s self-check: relay congestion can make
+    the windows non-monotone in K, in which case the slope is
+    non-positive and we fall back to the conservative whole-window
+    bound ``time_for_k(k_large)/k_large`` (method="window-bound"),
+    which contains the true step time and can only overstate it. A
+    non-positive number must never enter the record.
+    """
+    if k_large <= k_small:
+        raise ValueError("k_large must exceed k_small")
+    t_small = time_for_k(k_small)
+    t_large = time_for_k(k_large)
+    slope = (t_large - t_small) / (k_large - k_small)
+    if slope <= 0 or not math.isfinite(slope):
+        return TimingResult(
+            t_large / k_large, "window-bound", k_small, k_large,
+            [t_small], [t_large],
+        )
+    return TimingResult(
+        slope, "k-slope", k_small, k_large, [t_small], [t_large]
+    )
+
+
 def compiled_flops(fn, *args, **kwargs) -> float | None:
     """FLOPs of ``fn(*args, **kwargs)`` per XLA ``cost_analysis``.
 
@@ -171,6 +200,13 @@ def check_physical(
     raises so a broken timer can never put a number in the record.
     Returns the implied MFU (0.0 when FLOPs are unknown).
     """
+    if step_s <= 0 or not math.isfinite(step_s):
+        raise RuntimeError(
+            f"physically impossible timing for {label or 'step'}: "
+            f"non-positive/non-finite step time {step_s!r} s implies "
+            "infinite throughput — the timer (or a K-slope without its "
+            "window-bound fallback) is broken"
+        )
     u = mfu(flops_per_step, step_s, precision)
     if u is None:
         return 0.0

@@ -24,13 +24,37 @@ from papc_tpu.utils.timing import (
 )
 
 
+class VirtualClock:
+    """Deterministic stand-in for ``time`` (perf_counter only): slope
+    tests must not depend on real sleeps, which CPU contention in CI
+    inflates arbitrarily (observed: a 2 ms sleep taking 3.4 ms under a
+    concurrent full-suite run)."""
+
+    def __init__(self):
+        self.now = 0.0
+
+    def perf_counter(self):
+        return self.now
+
+    def advance(self, dt):
+        self.now += dt
+
+
 class FakeAsyncDevice:
     """Models the relay: dispatch is free, the value fetch pays for every
-    step still in flight."""
+    step still in flight. With a VirtualClock, costs advance the clock
+    deterministically instead of really sleeping."""
 
-    def __init__(self, step_cost_s):
+    def __init__(self, step_cost_s, clock=None):
         self.step_cost_s = step_cost_s
         self.pending = 0
+        self.clock = clock
+
+    def _pay(self, seconds):
+        if self.clock is not None:
+            self.clock.advance(seconds)
+        else:
+            time.sleep(seconds)
 
     def step(self):
         self.pending += 1
@@ -49,7 +73,7 @@ class FakeAsyncArray:
 
     def __array__(self, dtype=None, copy=None):
         # the fetch drains everything dispatched so far — like the relay
-        time.sleep(self._device.pending * self._device.step_cost_s)
+        self._device._pay(self._device.pending * self._device.step_cost_s)
         self._device.pending = 0
         return np.zeros((), np.float32)
 
@@ -69,18 +93,22 @@ def test_block_until_ready_based_timing_would_lie():
     assert apparent < STEP_COST / 4  # the lie this module exists to kill
 
 
-def test_fetch_forced_time_recovers_true_step_cost():
-    dev = FakeAsyncDevice(STEP_COST)
+def test_fetch_forced_time_recovers_true_step_cost(monkeypatch):
+    clock = VirtualClock()
+    monkeypatch.setattr("papc_tpu.utils.timing.time", clock)
+    dev = FakeAsyncDevice(STEP_COST, clock=clock)
     res = fetch_forced_time(dev.step, k_small=5, k_large=20, repeats=2)
     assert isinstance(res, TimingResult)
     assert res.method == "k-slope"
-    assert res.step_s == pytest.approx(STEP_COST, rel=0.35)
+    assert res.step_s == pytest.approx(STEP_COST, rel=0.05)
 
 
-def test_fetch_forced_time_cancels_constant_overhead():
+def test_fetch_forced_time_cancels_constant_overhead(monkeypatch):
     """A large per-fetch constant (relay round-trip) must not leak into
     the per-step estimate."""
-    dev = FakeAsyncDevice(STEP_COST)
+    clock = VirtualClock()
+    monkeypatch.setattr("papc_tpu.utils.timing.time", clock)
+    dev = FakeAsyncDevice(STEP_COST, clock=clock)
     real_step = dev.step
 
     def step_with_costly_fetch():
@@ -88,7 +116,7 @@ def test_fetch_forced_time_cancels_constant_overhead():
         out_fetch = out.__array__
 
         def fetch(dtype=None, copy=None):
-            time.sleep(10e-3)  # constant per-window fetch cost
+            clock.advance(10e-3)  # constant per-window fetch cost
             return out_fetch(dtype)
 
         out.__array__ = fetch
@@ -98,7 +126,7 @@ def test_fetch_forced_time_cancels_constant_overhead():
         step_with_costly_fetch, k_small=5, k_large=20, repeats=2
     )
     # naive window mean would report STEP_COST + 10ms/5 = 2x the truth
-    assert res.step_s == pytest.approx(STEP_COST, rel=0.35)
+    assert res.step_s == pytest.approx(STEP_COST, rel=0.05)
 
 
 def test_fetch_forced_time_window_bound_fallback():
@@ -191,3 +219,33 @@ def test_steptimer_forces_fetch():
     assert dev.pending == 0  # the timer actually fetched
     assert dt >= STEP_COST * 0.5
     assert t.avg == pytest.approx(dt)
+
+
+def test_scan_slope_k_slope_and_window_bound_fallback():
+    from papc_tpu.utils.timing import scan_slope
+
+    # clean case: whole-call time = 1ms overhead + 2ms/step
+    res = scan_slope(lambda k: 1e-3 + 2e-3 * k, 8, 32)
+    assert res.method == "k-slope"
+    assert res.step_s == pytest.approx(2e-3)
+    # congested case: the large window came back FASTER than the small
+    # one (relay noise) -> slope is negative; must fall back to the
+    # conservative whole-window bound, never record a non-positive time
+    times = {8: 50e-3, 32: 40e-3}
+    res = scan_slope(lambda k: times[k], 8, 32)
+    assert res.method == "window-bound"
+    assert res.step_s == pytest.approx(40e-3 / 32)
+    assert res.step_s > 0
+    with pytest.raises(ValueError):
+        scan_slope(lambda k: k * 1e-3, 8, 8)
+
+
+def test_check_physical_rejects_nonpositive_time():
+    from papc_tpu.utils.timing import check_physical
+
+    for bad in (0.0, -1e-3, float("nan"), float("inf")):
+        with pytest.raises(RuntimeError):
+            check_physical(bad, 1e9, "neg")
+    # even with unknown FLOPs, a non-positive time must raise
+    with pytest.raises(RuntimeError):
+        check_physical(-1e-3, None, "neg-noflops")

@@ -554,7 +554,28 @@ def main():
         file=sys.stderr,
         flush=True,
     )
-    step_time, step_mfu, step_flops = bench_train_step()  # headline
+    try:
+        step_time, step_mfu, step_flops = bench_train_step()  # headline
+    except Exception as e:  # noqa: BLE001
+        # Device path dead (e.g. relay outage): record the failure
+        # honestly — one JSON line with a null value, never a stale or
+        # fabricated number. (A full relay hang still hangs; only the
+        # driver's own timeout can bound that.)
+        print(f"# headline failed: {e!r}", file=sys.stderr, flush=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "shapenet_clas_points_per_sec_per_chip",
+                    "value": None,
+                    "unit": "points/sec",
+                    "vs_baseline": None,
+                    "extra": {
+                        "error": f"headline bench failed: {e!r:.300}",
+                    },
+                }
+            )
+        )
+        return
     bf16 = safe(bench_train_step, precision="bf16",
                 default=(None, None, None))
     step_time_bf16, step_mfu_bf16, _ = bf16

@@ -393,6 +393,16 @@ def fused_mlp_max(
             out2 = _jnp_eval_mlp_max(g2, vecs, ws, bs, k=k)
         out = out2.reshape(b, s, -1).astype(grouped.dtype)
         return out, running
+    if mode == "recompute1":
+        # single-launch passes hold a whole 8*k-row chunk of the f32
+        # chain in scoped VMEM — group_all-shaped layers (k=128, wide
+        # channels, e.g. SSG SA3) need ~27 MB against the 16 MB limit
+        # and must fall back per-layer
+        from papc_tpu.ops.pallas import samlp_single
+
+        if not samlp_single.fits(m, k, c0, [p[0].shape[1]
+                                            for p in params]):
+            mode = "stream"
     core = _make_core(
         len(params), k, tm, float(eps), impl, sdtype, interpret, mode
     )

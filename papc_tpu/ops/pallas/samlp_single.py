@@ -13,6 +13,19 @@ accumulating across chunks in registers.
 
 Same arithmetic as the grid recompute passes (bitwise in interpret
 mode): f32 in-register chains, bf16-input dots, analytic BN backward.
+
+HBM-stream alignment (real-Mosaic rule interpret mode does NOT model):
+a ``memref_slice`` of an HBM operand must be 128-lane aligned in its
+last dim, and the physical buffer is lane-padded — so streaming a
+logical ``[M, 3]`` input fails with "Slice shape along dimension 1
+must be aligned to tiling (128)". The public wrappers therefore
+zero-pad every HBM-streamed operand to 128-wide multiples: the chain
+input side (``g2`` cols + ``ws[0]`` rows — zero rows keep ``x@w``
+exact) and, when the last layer is narrow, its output side (``ws[-1]``
+cols, bias/BN-vec/mu cols, ``dout``/``amax`` cols — zero scale/shift
+makes the padded activations 0 and zero ``dout`` kills their grads).
+Padded outputs are sliced back before returning. VMEM-whole operands
+(weights, stats outputs) need no padding.
 """
 
 from __future__ import annotations
@@ -57,6 +70,67 @@ def _choose_chunk(m, k, cols, budget=10 * 1024 * 1024,
             f"(k={k}) — callers must pass 8-row-aligned group counts"
         )
     return ch
+
+
+def fits(m, k, c0, a_w, budget: int = 12 * 1024 * 1024) -> bool:
+    """Whether the single-launch passes' MINIMUM chunk (8*k rows — the
+    output/max-group alignment floor) plus their VMEM-resident
+    constants fit the 16 MB scoped-VMEM limit with margin.
+
+    Sized for the worst pass (``recompute_bwd_final``): per chunk row
+    the double-buffered input, the full f32 chain, the cotangent walk
+    and the double-buffered dg2 output are live, and the weights, their
+    f32 grad accumulators and the grad outputs are resident. Everything
+    is counted at lane-padded (128) width like :func:`_choose_chunk`.
+    """
+    c0p = -(-c0 // 128) * 128
+    a_p = [-(-c // 128) * 128 for c in a_w]
+    c_last = a_p[-1]
+    cols = ([c0p] * 5 + a_p + a_p[:-1] + [c_last] * 2
+            + [8 * c_last // max(k, 1)])
+    bytes_per_row = 4 * sum(cols)
+    w_bytes = 4 * sum(
+        (c0p if i == 0 else a_p[i - 1]) * a_p[i]
+        for i in range(len(a_p))
+    )
+    return budget - 3 * w_bytes >= 8 * max(k, 1) * bytes_per_row
+
+
+def _pad_cols(x, to: int = 128):
+    """Zero-pad the last dim up to a multiple of ``to`` (lane width)."""
+    pad = (-x.shape[-1]) % to
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
+def _pad_input_side(g2, ws):
+    """Lane-align the streamed chain input: pad ``g2`` cols and
+    ``ws[0]`` rows with zeros (``x_pad @ w0_pad == x @ w0`` exactly)."""
+    g2 = _pad_cols(g2)
+    ws = list(ws)
+    if ws[0].shape[0] != g2.shape[1]:
+        ws[0] = jnp.pad(
+            ws[0], ((0, g2.shape[1] - ws[0].shape[0]), (0, 0))
+        )
+    return g2, ws
+
+
+def _pad_output_side(vecs, ws, bs, mus=None):
+    """Lane-align the streamed last-layer side when it is narrow: pad
+    ``ws[-1]`` cols, its bias/BN-vec/mu cols with zeros — the padded
+    activations are ``max(0*a+0, 0) = 0`` and padded ``dout`` cols are
+    zero, so the extra lanes carry exact zeros through fwd and bwd."""
+    vecs, ws, bs = list(vecs), list(ws), list(bs)
+    ws[-1] = _pad_cols(ws[-1])
+    bs[-1] = _pad_cols(bs[-1])
+    if vecs:
+        vecs[-1] = _pad_cols(vecs[-1])
+    if mus is not None:
+        mus = list(mus)
+        if mus[-1] is not None:
+            mus[-1] = _pad_cols(mus[-1])
+    return vecs, ws, bs, mus
 
 
 def _pipe(hbm_ref, scratch, sem, ch, n_chunks):
@@ -140,6 +214,7 @@ def _stats_kernel(*refs, upto, ch, n_chunks):
 def recompute_stats(g2, vecs, ws, bs, *, upto, ch: int = 0,
                     interpret: bool = False):
     """Single-launch twin of ``samlp.recompute_stats``."""
+    g2, ws = _pad_input_side(g2, ws)
     m, c0 = g2.shape
     a_w = [w.shape[1] for w in ws[:upto]]
     if not ch:
@@ -242,6 +317,10 @@ def recompute_final_max(g2, vecs, ws, bs, *, k, ch: int = 0,
                         with_amax: bool = True,
                         interpret: bool = False):
     """Single-launch twin of ``samlp.recompute_final_max``."""
+    g2, ws = _pad_input_side(g2, ws)
+    c_true = ws[-1].shape[1]
+    if c_true % 128:
+        vecs, ws, bs, _ = _pad_output_side(vecs, ws, bs)
     m, c0 = g2.shape
     n = len(ws)
     c_last = ws[-1].shape[1]
@@ -285,6 +364,8 @@ def recompute_final_max(g2, vecs, ws, bs, *, k, ch: int = 0,
         scratch_shapes=scratch,
         interpret=interpret,
     )(g2, *cargs)
+    if c_true != c_last:  # slice the lane padding back off
+        outs = tuple(o[:, :c_true] for o in outs)
     return outs if with_amax else (outs[0], None)
 
 
@@ -399,8 +480,15 @@ def _bwd_in_setup(g2, dout, amax, vecs, ws, bs, ch, k):
 def recompute_bwd_stats(g2, dout, amax, vecs, ws, bs, mus, *, level, k,
                         ch: int = 0, interpret: bool = False):
     """Single-launch twin of ``samlp.recompute_bwd_stats``."""
-    m, c0 = g2.shape
+    g2, ws = _pad_input_side(g2, ws)
     n = len(ws)
+    c_true = ws[-1].shape[1]
+    c_level_true = ws[level - 1].shape[1]
+    if c_true % 128:
+        vecs, ws, bs, mus = _pad_output_side(vecs, ws, bs, mus)
+        dout = _pad_cols(dout)
+        amax = _pad_cols(amax)
+    m, c0 = g2.shape
     c_last = ws[-1].shape[1]
     if not ch:
         a_w = [w.shape[1] for w in ws]
@@ -419,7 +507,7 @@ def recompute_bwd_stats(g2, dout, amax, vecs, ws, bs, mus, *, level, k,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(mus[j - 1].astype(_F32))
     c_level = ws[level - 1].shape[1]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _bwd_stats_kernel, n=n, k=k, level=level, ch=ch,
             n_chunks=n_chunks,
@@ -430,6 +518,7 @@ def recompute_bwd_stats(g2, dout, amax, vecs, ws, bs, mus, *, level, k,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
+    return out[:, :c_level_true]
 
 
 def _bwd_final_kernel(*refs, n, k, ch, n_chunks):
@@ -517,6 +606,13 @@ def _bwd_final_kernel(*refs, n, k, ch, n_chunks):
 def recompute_bwd_final(g2, dout, amax, vecs, ws, bs, mus, *, k,
                         ch: int = 0, interpret: bool = False):
     """Single-launch twin of ``samlp.recompute_bwd_final``."""
+    c0_true = g2.shape[1]
+    g2, ws = _pad_input_side(g2, ws)
+    c_true = ws[-1].shape[1]
+    if c_true % 128:
+        vecs, ws, bs, mus = _pad_output_side(vecs, ws, bs, mus)
+        dout = _pad_cols(dout)
+        amax = _pad_cols(amax)
     m, c0 = g2.shape
     n = len(ws)
     c_last = ws[-1].shape[1]
@@ -558,5 +654,12 @@ def recompute_bwd_final(g2, dout, amax, vecs, ws, bs, mus, *, k,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    dg2 = outs[0]
-    return dg2, outs[1:1 + n], outs[1 + n:1 + 2 * n]
+    dg2 = outs[0][:, :c0_true]
+    dws = list(outs[1:1 + n])
+    dbs = list(outs[1 + n:1 + 2 * n])
+    # slice the zero-padded lanes back off the edge-layer grads
+    dws[0] = dws[0][:c0_true, :]
+    if c_true != c_last:
+        dws[-1] = dws[-1][:, :c_true]
+        dbs[-1] = dbs[-1][:, :c_true]
+    return dg2, tuple(dws), tuple(dbs)

@@ -55,22 +55,27 @@ def main():
     KS = (8, 32)
     progs = {}
     for tgt in TARGETS:
-        os.environ["PAPC_SAMLP_TILE_TARGET"] = str(tgt)
         for k in KS:
             log(f"compile tile_target={tgt} K={k} ...")
             t0 = time.perf_counter()
-            with fused_mlp.override(enable=True, mode="stream"):
-                scan_step = make_scan_train_step(spec, k)
-                stacked = jax.tree_util.tree_map(
-                    lambda x: jnp.broadcast_to(
-                        x[None], (k,) + x.shape), batch
-                )
-                h = {"s": jax.tree_util.tree_map(jnp.copy, state)}
-                h["s"], losses, _ = scan_step(h["s"], stacked, rng)
-                float(losses[-1])
+            # env var is read at TRACE time; restore it immediately so
+            # a remote-compile 500 can't leak the setting into later
+            # programs in this process
+            os.environ["PAPC_SAMLP_TILE_TARGET"] = str(tgt)
+            try:
+                with fused_mlp.override(enable=True, mode="stream"):
+                    scan_step = make_scan_train_step(spec, k)
+                    stacked = jax.tree_util.tree_map(
+                        lambda x: jnp.broadcast_to(
+                            x[None], (k,) + x.shape), batch
+                    )
+                    h = {"s": jax.tree_util.tree_map(jnp.copy, state)}
+                    h["s"], losses, _ = scan_step(h["s"], stacked, rng)
+                    float(losses[-1])
+            finally:
+                os.environ.pop("PAPC_SAMLP_TILE_TARGET", None)
             log(f"  compiled+ran in {time.perf_counter()-t0:.1f}s")
             progs[(tgt, k)] = (scan_step, stacked)
-    os.environ.pop("PAPC_SAMLP_TILE_TARGET", None)
 
     def window(tgt, k):
         scan_step, stacked = progs[(tgt, k)]

@@ -29,12 +29,15 @@ Reference parity: this computes the same function as
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from papc_tpu.ops.pallas import samlp
+
+_logger = logging.getLogger(__name__)
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
@@ -88,6 +91,23 @@ def enabled(shape, features) -> bool:
     if _OVERRIDE["enable"] is not None:
         return bool(_OVERRIDE["enable"]) and supported(shape, features)
     return supported(shape, features) and jax.default_backend() == "tpu"
+
+
+def effective_mode(mode: str, m: int, k: int, c0: int,
+                   widths) -> str:
+    """The fused mode actually used for one layer stack.
+
+    ``recompute1`` (single-launch passes) holds a whole 8*k-row chunk
+    of the f32 chain in scoped VMEM — group_all-shaped stacks (k=128,
+    wide channels, e.g. SSG SA3) need ~27 MB against the 16 MB limit
+    and demote to ``stream`` per-layer. A/B harnesses should query this
+    to report which stacks actually ran the labeled mode."""
+    if mode == "recompute1":
+        from papc_tpu.ops.pallas import samlp_single
+
+        if not samlp_single.fits(m, k, c0, list(widths)):
+            return "stream"
+    return mode
 
 
 def call_opts() -> dict:
@@ -394,15 +414,16 @@ def fused_mlp_max(
         out = out2.reshape(b, s, -1).astype(grouped.dtype)
         return out, running
     if mode == "recompute1":
-        # single-launch passes hold a whole 8*k-row chunk of the f32
-        # chain in scoped VMEM — group_all-shaped layers (k=128, wide
-        # channels, e.g. SSG SA3) need ~27 MB against the 16 MB limit
-        # and must fall back per-layer
-        from papc_tpu.ops.pallas import samlp_single
-
-        if not samlp_single.fits(m, k, c0, [p[0].shape[1]
-                                            for p in params]):
-            mode = "stream"
+        widths = [p[0].shape[1] for p in params]
+        eff = effective_mode(mode, m, k, c0, widths)
+        if eff != mode:
+            _logger.warning(
+                "fused_mlp: recompute1 demoted to stream for layer "
+                "stack m=%d k=%d c0=%d widths=%s (fails samlp_single."
+                "fits) — A/Bs labeled recompute1 run stream for this "
+                "stack", m, k, c0, widths,
+            )
+        mode = eff
     core = _make_core(
         len(params), k, tm, float(eps), impl, sdtype, interpret, mode
     )

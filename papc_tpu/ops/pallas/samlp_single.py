@@ -83,12 +83,19 @@ def fits(m, k, c0, a_w, budget: int = 12 * 1024 * 1024) -> bool:
     f32 grad accumulators and the grad outputs are resident. Everything
     is counted at lane-padded (128) width like :func:`_choose_chunk`.
     """
+    if m % (8 * max(k, 1)):
+        # _choose_chunk requires an 8*k-aligned chunk dividing m; gate
+        # here so callers demote to stream instead of tracing into a
+        # ValueError
+        return False
     c0p = -(-c0 // 128) * 128
     a_p = [-(-c // 128) * 128 for c in a_w]
     c_last = a_p[-1]
     cols = ([c0p] * 5 + a_p + a_p[:-1] + [c_last] * 2
             + [8 * c_last // max(k, 1)])
-    bytes_per_row = 4 * sum(cols)
+    # identical lane-padding rule to _choose_chunk so the gate and the
+    # chunk chooser can never disagree on per-row bytes
+    bytes_per_row = 4 * sum(-(-c // 128) * 128 for c in cols)
     w_bytes = 4 * sum(
         (c0p if i == 0 else a_p[i - 1]) * a_p[i]
         for i in range(len(a_p))

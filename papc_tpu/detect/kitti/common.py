@@ -5,6 +5,13 @@ Reference parity: ``data/kitti_common.py`` — same info-dict schema
 ``calib/P0..P3``, ``calib/R0_rect``, ``calib/Tr_velo_to_cam``, ``annos``),
 same label-file format, same difficulty rules, same result-line format —
 so artifacts interoperate with SECOND-lineage tooling.
+
+Unlike the reference's hand-unrolled field-by-field parse
+(``kitti_common.py:560-601``), the KITTI object-label schema here is ONE
+declarative column table (:data:`_LABEL_FIELDS`) that drives the parser,
+the result-line formatter, and the empty-annotation constructors — the
+four can never disagree about the format. Output dicts are byte-identical
+to the reference's (golden-tested in ``tests/test_kitti_common.py``).
 """
 
 from __future__ import annotations
@@ -12,7 +19,7 @@ from __future__ import annotations
 import concurrent.futures as futures
 import pathlib
 import re
-from collections import OrderedDict
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -56,8 +63,31 @@ def get_calib_path(idx, prefix, training=True, relative_path=True,
                       relative_path, exist_check)
 
 
-def _extend_matrix(mat):
-    return np.concatenate([mat, np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+# ------------------------------------------------------------- calib I/O
+
+# (key, line number, value count, matrix shape); every matrix optionally
+# homogenized to 4x4 by `extend_matrix`
+_CALIB_ROWS = (
+    ("calib/P0", 0, (3, 4)),
+    ("calib/P1", 1, (3, 4)),
+    ("calib/P2", 2, (3, 4)),
+    ("calib/P3", 3, (3, 4)),
+    ("calib/R0_rect", 4, (3, 3)),
+    ("calib/Tr_velo_to_cam", 5, (3, 4)),
+    ("calib/Tr_imu_to_velo", 6, (3, 4)),
+)
+
+
+def _homogenize(mat: np.ndarray) -> np.ndarray:
+    """Embed a 3x4 (bottom row) or 3x3 (4x4 eye corner) matrix."""
+    if mat.shape == (3, 4):
+        return np.concatenate(
+            [mat, np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
+        )
+    out = np.zeros((4, 4), mat.dtype)
+    out[3, 3] = 1.0
+    out[:3, :3] = mat
+    return out
 
 
 def read_calib(calib_path, extend_matrix=True):
@@ -65,67 +95,83 @@ def read_calib(calib_path, extend_matrix=True):
     with open(calib_path) as f:
         lines = f.readlines()
     out = {}
-    for i, name in enumerate(["P0", "P1", "P2", "P3"]):
-        P = np.array(
-            [float(v) for v in lines[i].split(" ")[1:13]]
-        ).reshape(3, 4)
-        out[f"calib/{name}"] = _extend_matrix(P) if extend_matrix else P
-    R0 = np.array(
-        [float(v) for v in lines[4].split(" ")[1:10]]
-    ).reshape(3, 3)
-    if extend_matrix:
-        rect = np.zeros((4, 4), R0.dtype)
-        rect[3, 3] = 1.0
-        rect[:3, :3] = R0
-    else:
-        rect = R0
-    out["calib/R0_rect"] = rect
-    Tr = np.array(
-        [float(v) for v in lines[5].split(" ")[1:13]]
-    ).reshape(3, 4)
-    Tr_imu = np.array(
-        [float(v) for v in lines[6].split(" ")[1:13]]
-    ).reshape(3, 4)
-    if extend_matrix:
-        Tr = _extend_matrix(Tr)
-        Tr_imu = _extend_matrix(Tr_imu)
-    out["calib/Tr_velo_to_cam"] = Tr
-    out["calib/Tr_imu_to_velo"] = Tr_imu
+    for key, lineno, shape in _CALIB_ROWS:
+        n = shape[0] * shape[1]
+        mat = np.array(
+            [float(v) for v in lines[lineno].split(" ")[1:n + 1]]
+        ).reshape(shape)
+        out[key] = _homogenize(mat) if extend_matrix else mat
     return out
 
 
+# ---------------------------------------------------- object-label schema
+
+
+@dataclass(frozen=True)
+class _Field:
+    """One column group of a KITTI object-label / result line."""
+
+    key: str
+    width: int  # whitespace-separated columns it occupies
+    kind: str  # 'str' | 'int' | 'float'
+    default: object  # result-line value when absent; None = required
+
+
+_LABEL_FIELDS = (
+    _Field("name", 1, "str", None),
+    _Field("truncated", 1, "float", -1),
+    _Field("occluded", 1, "int", -1),
+    _Field("alpha", 1, "float", -10),
+    _Field("bbox", 4, "float", None),
+    _Field("dimensions", 3, "float", [-1, -1, -1]),
+    _Field("location", 3, "float", [-1000, -1000, -1000]),
+    _Field("rotation_y", 1, "float", -10),
+    _Field("score", 1, "float", 0.0),
+)
+_N_LABEL_COLS = sum(f.width for f in _LABEL_FIELDS)  # 16 with score
+
+
 def get_label_anno(label_path):
-    """Parse one KITTI label file (reference :560-601). dimensions are
-    converted hwl → lhw(camera)."""
+    """Parse one KITTI label file via the field table. ``dimensions``
+    are converted hwl → lhw(camera); ``score`` defaults to zeros when
+    the 16th column is absent (ground-truth files)."""
     with open(label_path) as f:
-        content = [line.strip().split(" ") for line in f.readlines()]
-    annotations = {}
-    num_objects = len([x[0] for x in content if x[0] != "DontCare"])
-    annotations["name"] = np.array([x[0] for x in content])
-    num_gt = len(annotations["name"])
-    annotations["truncated"] = np.array([float(x[1]) for x in content])
-    annotations["occluded"] = np.array([int(x[2]) for x in content])
-    annotations["alpha"] = np.array([float(x[3]) for x in content])
-    annotations["bbox"] = np.array(
-        [[float(v) for v in x[4:8]] for x in content]
-    ).reshape(-1, 4)
-    annotations["dimensions"] = np.array(
-        [[float(v) for v in x[8:11]] for x in content]
-    ).reshape(-1, 3)[:, [2, 0, 1]]
-    annotations["location"] = np.array(
-        [[float(v) for v in x[11:14]] for x in content]
-    ).reshape(-1, 3)
-    annotations["rotation_y"] = np.array(
-        [float(x[14]) for x in content]
-    ).reshape(-1)
-    if len(content) != 0 and len(content[0]) == 16:
-        annotations["score"] = np.array([float(x[15]) for x in content])
-    else:
-        annotations["score"] = np.zeros((annotations["bbox"].shape[0],))
-    index = list(range(num_objects)) + [-1] * (num_gt - num_objects)
-    annotations["index"] = np.array(index, dtype=np.int32)
-    annotations["group_ids"] = np.arange(num_gt, dtype=np.int32)
-    return annotations
+        rows = [line.strip().split(" ") for line in f.readlines()]
+    n = len(rows)
+    has_score = n != 0 and len(rows[0]) == _N_LABEL_COLS
+    # one float matrix of every numeric column, sliced per field below
+    ncols = _N_LABEL_COLS - 1 if has_score else _N_LABEL_COLS - 2
+    vals = np.array(
+        [[float(v) for v in r[1:1 + ncols]] for r in rows], np.float64
+    ).reshape(n, ncols)
+    anno = {}
+    col = 0
+    for fld in _LABEL_FIELDS:
+        if fld.kind == "str":
+            anno[fld.key] = np.array([r[0] for r in rows])
+            continue
+        if fld.key == "score" and not has_score:
+            anno["score"] = np.zeros((n,))
+            continue
+        block = vals[:, col:col + fld.width]
+        col += fld.width
+        if fld.kind == "int":
+            anno[fld.key] = block[:, 0].astype(np.int64)
+        elif fld.width == 1:
+            anno[fld.key] = block[:, 0]
+        else:
+            anno[fld.key] = block
+    # camera-frame convention: stored h,w,l → l,h,w
+    anno["dimensions"] = anno["dimensions"][:, [2, 0, 1]]
+    # objects index within the frame; DontCare rows (always trailing in
+    # KITTI files) get -1
+    num_objects = int(np.sum(anno["name"] != "DontCare"))
+    anno["index"] = np.concatenate([
+        np.arange(num_objects, dtype=np.int32),
+        np.full(n - num_objects, -1, np.int32),
+    ])
+    anno["group_ids"] = np.arange(n, dtype=np.int32)
+    return anno
 
 
 def get_label_annos(label_folder, image_ids=None):
@@ -148,6 +194,50 @@ def get_label_annos(label_folder, image_ids=None):
     return annos
 
 
+def kitti_result_line(result_dict, precision=4):
+    """Format one detection as a KITTI result-file line, driven by the
+    same field table as the parser. Scalar float fields fall back to
+    ``str(default)`` when absent (matching the official tooling);
+    vector fields format their defaults at full precision."""
+    known = {f.key for f in _LABEL_FIELDS}
+    for key in result_dict:
+        if key not in known:
+            raise KeyError(key)
+    parts = []
+    for fld in _LABEL_FIELDS:
+        val = result_dict.get(fld.key)
+        if val is None and fld.default is None:
+            raise ValueError(f"you must specify a value for {fld.key}")
+        if fld.kind == "str":
+            parts.append(val)
+        elif fld.kind == "int":
+            parts.append(f"{val}" if val is not None else str(fld.default))
+        elif fld.width == 1:
+            parts.append(
+                f"{val:.{precision}f}" if val is not None
+                else str(fld.default)
+            )
+        else:
+            vec = val if val is not None else fld.default
+            parts += [f"{v:.{precision}f}" for v in vec]
+    return " ".join(parts)
+
+
+def empty_result_anno():
+    return {
+        fld.key: np.zeros([0, fld.width]) if fld.width > 1
+        else np.array([])
+        for fld in _LABEL_FIELDS
+    }
+
+
+def get_start_result_anno():
+    return {fld.key: [] for fld in _LABEL_FIELDS}
+
+
+# ------------------------------------------------------------- info dicts
+
+
 def get_kitti_image_info(
     path,
     training=True,
@@ -160,7 +250,7 @@ def get_kitti_image_info(
     relative_path=True,
     with_imageshape=True,
 ):
-    """Build the per-frame info dicts (reference :124-230)."""
+    """Build the per-frame info dicts (reference schema, :124-230)."""
     root_path = pathlib.Path(path)
     if not isinstance(image_ids, list):
         image_ids = list(range(image_ids))
@@ -200,34 +290,30 @@ def get_kitti_image_info(
         return list(executor.map(map_func, image_ids))
 
 
-# difficulty rules (reference :476-520)
-_MIN_HEIGHT = [40, 25, 25]
-_MAX_OCCLUSION = [0, 1, 2]
-_MAX_TRUNCATION = [0.15, 0.3, 0.5]
+# official difficulty thresholds, indexed easy/moderate/hard
+_MIN_HEIGHT = np.array([40.0, 25.0, 25.0])
+_MAX_OCCLUSION = np.array([0, 1, 2])
+_MAX_TRUNCATION = np.array([0.15, 0.3, 0.5])
 
 
 def add_difficulty_to_annos(info):
+    """Vectorized official difficulty assignment: a box passes tier t
+    when height/occlusion/truncation are all within tier-t bounds; the
+    label is the easiest passing tier, -1 when even 'hard' fails."""
     annos = info["annos"]
     bbox = annos["bbox"]
-    height = bbox[:, 3] - bbox[:, 1]
-    occlusion = annos["occluded"]
-    truncation = annos["truncated"]
-    n = len(height)
-    easy = np.ones(n, bool)
-    moderate = np.ones(n, bool)
-    hard = np.ones(n, bool)
-    for i, (h, o, t) in enumerate(zip(height, occlusion, truncation)):
-        if o > _MAX_OCCLUSION[0] or h <= _MIN_HEIGHT[0] or t > _MAX_TRUNCATION[0]:
-            easy[i] = False
-        if o > _MAX_OCCLUSION[1] or h <= _MIN_HEIGHT[1] or t > _MAX_TRUNCATION[1]:
-            moderate[i] = False
-        if o > _MAX_OCCLUSION[2] or h <= _MIN_HEIGHT[2] or t > _MAX_TRUNCATION[2]:
-            hard[i] = False
-    is_moderate = np.logical_xor(easy, moderate)
-    is_hard = np.logical_xor(hard, moderate)
-    diff = np.full(n, -1, np.int32)
-    diff[is_hard] = 2
-    diff[is_moderate] = 1
+    height = (bbox[:, 3] - bbox[:, 1])[:, None]  # [n, 1]
+    occ = np.asarray(annos["occluded"], np.float64)[:, None]
+    trunc = np.asarray(annos["truncated"], np.float64)[:, None]
+    passes = (  # [n, 3] per-tier pass mask
+        (occ <= _MAX_OCCLUSION[None, :])
+        & (height > _MIN_HEIGHT[None, :])
+        & (trunc <= _MAX_TRUNCATION[None, :])
+    )
+    easy, moderate, hard = passes.T
+    diff = np.full(len(height), -1, np.int32)
+    diff[np.logical_xor(hard, moderate)] = 2
+    diff[np.logical_xor(easy, moderate)] = 1
     diff[easy] = 0
     annos["difficulty"] = diff
     return diff
@@ -264,47 +350,6 @@ def filter_annos_low_score(image_annos, thresh):
     return new
 
 
-def kitti_result_line(result_dict, precision=4):
-    """Format one detection as a KITTI result-file line
-    (reference :414-459)."""
-    prec_float = "{" + f":.{precision}f" + "}"
-    defaults = OrderedDict(
-        [
-            ("name", None),
-            ("truncated", -1),
-            ("occluded", -1),
-            ("alpha", -10),
-            ("bbox", None),
-            ("dimensions", [-1, -1, -1]),
-            ("location", [-1000, -1000, -1000]),
-            ("rotation_y", -10),
-            ("score", 0.0),
-        ]
-    )
-    res = OrderedDict((k, None) for k in defaults)
-    for key, val in result_dict.items():
-        if defaults[key] is None and val is None:
-            raise ValueError(f"you must specify a value for {key}")
-        res[key] = val
-    line = []
-    for key, val in res.items():
-        if key == "name":
-            line.append(val)
-        elif key in ("truncated", "alpha", "rotation_y", "score"):
-            line.append(
-                prec_float.format(val) if val is not None
-                else str(defaults[key])
-            )
-        elif key == "occluded":
-            line.append(
-                f"{val}" if val is not None else str(defaults[key])
-            )
-        else:  # bbox / dimensions / location
-            vals = val if val is not None else defaults[key]
-            line += [prec_float.format(v) for v in vals]
-    return " ".join(line)
-
-
 def anno_to_rbboxes(anno):
     return np.concatenate(
         [
@@ -314,31 +359,3 @@ def anno_to_rbboxes(anno):
         ],
         axis=1,
     )
-
-
-def empty_result_anno():
-    return {
-        "name": np.array([]),
-        "truncated": np.array([]),
-        "occluded": np.array([]),
-        "alpha": np.array([]),
-        "bbox": np.zeros([0, 4]),
-        "dimensions": np.zeros([0, 3]),
-        "location": np.zeros([0, 3]),
-        "rotation_y": np.array([]),
-        "score": np.array([]),
-    }
-
-
-def get_start_result_anno():
-    return {
-        "name": [],
-        "truncated": [],
-        "occluded": [],
-        "alpha": [],
-        "bbox": [],
-        "dimensions": [],
-        "location": [],
-        "rotation_y": [],
-        "score": [],
-    }

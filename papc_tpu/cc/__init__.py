@@ -98,6 +98,10 @@ def _bind(lib):
     lib.rbbox_iou.argtypes = [
         f32, i64, f32, i64, ctypes.c_float, ctypes.c_int, f32,
     ]
+    lib.d3_box_overlap.restype = None
+    lib.d3_box_overlap.argtypes = [
+        f32, i64, f32, i64, ctypes.c_int, f32,
+    ]
     lib.iou2d.restype = None
     lib.iou2d.argtypes = [f32, i64, f32, i64, ctypes.c_float, f32]
     lib.iou2d_assign.restype = i64
@@ -127,6 +131,19 @@ def _bind(lib):
     lib.kitti_eval_fused_statistics.argtypes = [
         f64, i64, i64, f64, f64, i32, i32, f64, i64,
         ctypes.c_int, ctypes.c_double, f64, i64, ctypes.c_int, f64,
+    ]
+    lib.kitti_eval_collect_thresholds.restype = i64
+    lib.kitti_eval_collect_thresholds.argtypes = [
+        f64, i64, i64, f64, i32, i32, ctypes.c_double, f64,
+    ]
+    lib.kitti_eval_fused_statistics_batch.restype = None
+    lib.kitti_eval_fused_statistics_batch.argtypes = [
+        f64, p64, p64, i64, f64, f64, i32, i32, f64, p64,
+        ctypes.c_int, ctypes.c_double, f64, i64, ctypes.c_int, i64, f64,
+    ]
+    lib.kitti_eval_collect_thresholds_batch.restype = i64
+    lib.kitti_eval_collect_thresholds_batch.argtypes = [
+        f64, p64, p64, i64, f64, i32, i32, ctypes.c_double, f64,
     ]
 
 
@@ -312,6 +329,25 @@ def rbbox_iou(
             _ptr(boxes, ctypes.c_float), n,
             _ptr(qboxes, ctypes.c_float), k,
             standup_thresh, criterion, _ptr(out, ctypes.c_float),
+        )
+    return out
+
+
+def d3_box_overlap(
+    boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1
+) -> np.ndarray:
+    """Camera-frame 3D overlap [N,7]x[K,7] (x,y,z,l,h,w,ry) — the KITTI
+    eval 3D metric's kernel (BEV rotated intersection x height overlap)."""
+    lib = _load()
+    boxes = _f32(boxes)
+    qboxes = _f32(qboxes)
+    n, k = len(boxes), len(qboxes)
+    out = np.zeros((n, k), np.float32)
+    if n and k:
+        lib.d3_box_overlap(
+            _ptr(boxes, ctypes.c_float), n,
+            _ptr(qboxes, ctypes.c_float), k,
+            criterion, _ptr(out, ctypes.c_float),
         )
     return out
 
@@ -535,6 +571,130 @@ def kitti_eval_fused_statistics(
         1 if compute_aos else 0,
         _ptr(pr, ctypes.c_double),
     )
+
+
+def kitti_eval_collect_thresholds(
+    overlaps: np.ndarray,  # [dt, gt] float64
+    dt_scores: np.ndarray,  # [dt]
+    ignored_gt: np.ndarray,
+    ignored_det: np.ndarray,
+    min_overlap: float,
+) -> np.ndarray:
+    """Matched tp scores of the thresh=0 matching pass (native twin of
+    ``compute_statistics(compute_fp=False)``'s thresholds list)."""
+    lib = _load()
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    scores = np.ascontiguousarray(dt_scores, np.float64)
+    ig = np.ascontiguousarray(ignored_gt, np.int32)
+    idt = np.ascontiguousarray(ignored_det, np.int32)
+    num_dt, num_gt = len(scores), len(ig)
+    out = np.empty(max(num_gt, 1), np.float64)
+    n = lib.kitti_eval_collect_thresholds(
+        _ptr(overlaps, ctypes.c_double), num_dt, num_gt,
+        _ptr(scores, ctypes.c_double),
+        _ptr(ig, ctypes.c_int32), _ptr(idt, ctypes.c_int32),
+        min_overlap, _ptr(out, ctypes.c_double),
+    )
+    return out[:n]
+
+
+def _eval_flatten(per_frame, width: int, dtype):
+    """Concat per-frame ``[n_i, width]`` arrays → (flat, counts[int64])."""
+    counts = np.array(
+        [len(np.asarray(a).reshape(-1, width)) for a in per_frame],
+        np.int64,
+    )
+    if counts.sum() == 0:
+        return np.zeros((0, width), dtype), counts
+    flat = np.concatenate(
+        [np.ascontiguousarray(np.asarray(a).reshape(-1, width), dtype)
+         for a in per_frame],
+        axis=0,
+    )
+    return np.ascontiguousarray(flat, dtype), counts
+
+
+def kitti_eval_fused_statistics_batch(
+    overlaps,  # list of [dt_i, gt_i] float64
+    gt_datas_list,  # list of [gt_i, 5]
+    dt_datas_list,  # list of [dt_i, 6]
+    ignored_gts,
+    ignored_dets,
+    dontcares,  # list of [ndc_i, 4]
+    metric: int,
+    min_overlap: float,
+    thresholds: np.ndarray,  # [T]
+    compute_aos: bool,
+    pr: np.ndarray,  # [T, 4] float64 — accumulated IN PLACE
+    num_threads: int = 0,
+):
+    """All frames' TP/FP/FN/similarity over T thresholds in ONE native
+    call (threaded over frame ranges with exact per-thread partials) —
+    per-frame ctypes dispatch was ~30% of official-eval wall time at
+    val-split scale."""
+    lib = _load()
+    n_frames = len(overlaps)
+    dt_datas_flat, dt_counts = _eval_flatten(dt_datas_list, 6, np.float64)
+    gt_datas_flat, gt_counts = _eval_flatten(gt_datas_list, 5, np.float64)
+    dc_flat, dc_counts = _eval_flatten(dontcares, 4, np.float64)
+    ov_flat = (
+        np.concatenate(
+            [np.asarray(o, np.float64).ravel() for o in overlaps]
+        )
+        if n_frames and sum(o.size for o in overlaps)
+        else np.zeros(0, np.float64)
+    )
+    ov_flat = np.ascontiguousarray(ov_flat, np.float64)
+    ig_flat, _ = _eval_flatten(ignored_gts, 1, np.int32)
+    idt_flat, _ = _eval_flatten(ignored_dets, 1, np.int32)
+    th = np.ascontiguousarray(thresholds, np.float64)
+    assert pr.dtype == np.float64 and pr.flags.c_contiguous
+    lib.kitti_eval_fused_statistics_batch(
+        _ptr(ov_flat, ctypes.c_double),
+        _ptr(dt_counts, ctypes.c_int64), _ptr(gt_counts, ctypes.c_int64),
+        n_frames,
+        _ptr(gt_datas_flat, ctypes.c_double),
+        _ptr(dt_datas_flat, ctypes.c_double),
+        _ptr(ig_flat, ctypes.c_int32), _ptr(idt_flat, ctypes.c_int32),
+        _ptr(dc_flat, ctypes.c_double), _ptr(dc_counts, ctypes.c_int64),
+        metric, min_overlap,
+        _ptr(th, ctypes.c_double), len(th),
+        1 if compute_aos else 0, num_threads,
+        _ptr(pr, ctypes.c_double),
+    )
+
+
+def kitti_eval_collect_thresholds_batch(
+    overlaps,  # list of [dt_i, gt_i] float64
+    dt_scores_list,  # list of [dt_i]
+    ignored_gts,
+    ignored_dets,
+    min_overlap: float,
+) -> np.ndarray:
+    """All frames' matched tp scores (thresh=0 pass) in ONE native call."""
+    lib = _load()
+    n_frames = len(overlaps)
+    sc_flat, dt_counts = _eval_flatten(dt_scores_list, 1, np.float64)
+    ig_flat, gt_counts = _eval_flatten(ignored_gts, 1, np.int32)
+    idt_flat, _ = _eval_flatten(ignored_dets, 1, np.int32)
+    ov_flat = (
+        np.concatenate(
+            [np.asarray(o, np.float64).ravel() for o in overlaps]
+        )
+        if n_frames and sum(o.size for o in overlaps)
+        else np.zeros(0, np.float64)
+    )
+    ov_flat = np.ascontiguousarray(ov_flat, np.float64)
+    out = np.empty(max(int(gt_counts.sum()), 1), np.float64)
+    n = lib.kitti_eval_collect_thresholds_batch(
+        _ptr(ov_flat, ctypes.c_double),
+        _ptr(dt_counts, ctypes.c_int64), _ptr(gt_counts, ctypes.c_int64),
+        n_frames,
+        _ptr(sc_flat, ctypes.c_double),
+        _ptr(ig_flat, ctypes.c_int32), _ptr(idt_flat, ctypes.c_int32),
+        min_overlap, _ptr(out, ctypes.c_double),
+    )
+    return out[:n]
 
 
 def box_collision_test(

@@ -351,6 +351,53 @@ int nms_cpu(const float* boxes, int64_t k, float iou_threshold,
   return n_kept;
 }
 
+// --------------------------------------------------------- d3_box_overlap
+// Camera-frame 3D overlap (KITTI eval metric=2; reference
+// libs/tools/eval.py:131-162): exact rotated BEV intersection area
+// (criterion=2 rbbox_iou over (x, z, l, w, ry)) fused with the y-axis
+// height overlap. boxes/qboxes: [N, 7] / [K, 7] (x, y, z, l, h, w, ry)
+// float32, y the box BOTTOM (camera frame). out: [N, K] float32.
+void d3_box_overlap(const float* boxes, int64_t n, const float* qboxes,
+                    int64_t k, int criterion, float* out) {
+  std::vector<float> bev_b(n * 5), bev_q(k * 5);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* b = boxes + i * 7;
+    float* o = bev_b.data() + i * 5;
+    o[0] = b[0]; o[1] = b[2]; o[2] = b[3]; o[3] = b[5]; o[4] = b[6];
+  }
+  for (int64_t j = 0; j < k; ++j) {
+    const float* b = qboxes + j * 7;
+    float* o = bev_q.data() + j * 5;
+    o[0] = b[0]; o[1] = b[2]; o[2] = b[3]; o[3] = b[5]; o[4] = b[6];
+  }
+  // out temporarily holds the raw BEV intersection areas
+  rbbox_iou(bev_b.data(), n, bev_q.data(), k, 0.0f, 2, out);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* b = boxes + i * 7;
+    const double area_i = (double)b[3] * b[4] * b[5];
+    for (int64_t j = 0; j < k; ++j) {
+      float& cell = out[i * k + j];
+      if (cell <= 0.f) { cell = 0.f; continue; }
+      const float* q = qboxes + j * 7;
+      const double iw = std::min(b[1], q[1]) -
+                        std::max(b[1] - b[4], q[1] - q[4]);
+      if (iw <= 0) { cell = 0.f; continue; }
+      const double inc = iw * (double)cell;
+      double ua;
+      if (criterion == -1) {
+        ua = area_i + (double)q[3] * q[4] * q[5] - inc;
+      } else if (criterion == 0) {
+        ua = area_i;
+      } else if (criterion == 1) {
+        ua = (double)q[3] * q[4] * q[5];
+      } else {
+        ua = 1.0;
+      }
+      cell = ua > 0 ? (float)(inc / ua) : 0.f;
+    }
+  }
+}
+
 // Greedy exact rotated NMS. rbboxes: [K, 5] score-sorted desc.
 int rotate_nms_cpu(const float* rbboxes, int64_t k, float iou_threshold,
                    uint8_t* keep) {
@@ -694,6 +741,126 @@ void kitti_eval_fused_statistics(
     pr[t * 4 + 2] += (double)fn;
     if (compute_aos && similarity != -1.0) pr[t * 4 + 3] += similarity;
   }
+}
+
+// -------------------------------------- KITTI eval batched driver loops
+// One native call per eval instead of one per frame (ctypes dispatch was
+// ~30% of official-eval wall at val-split scale). Frames are passed as
+// flat concatenations + per-frame counts; the PR accumulation threads
+// over frame ranges with per-thread [T, 4] partials (order-independent
+// sums, so the merge is exact).
+void kitti_eval_fused_statistics_batch(
+    const double* overlaps_flat, const int64_t* dt_counts,
+    const int64_t* gt_counts, int64_t n_frames,
+    const double* gt_datas_flat, const double* dt_datas_flat,
+    const int32_t* ignored_gt_flat, const int32_t* ignored_det_flat,
+    const double* dc_flat, const int64_t* dc_counts,
+    int metric, double min_overlap,
+    const double* thresholds, int64_t num_t,
+    int compute_aos, int64_t num_threads, double* pr) {
+  std::vector<int64_t> ov_off(n_frames + 1, 0), gt_off(n_frames + 1, 0),
+      dt_off(n_frames + 1, 0), dc_off(n_frames + 1, 0);
+  for (int64_t f = 0; f < n_frames; ++f) {
+    ov_off[f + 1] = ov_off[f] + dt_counts[f] * gt_counts[f];
+    gt_off[f + 1] = gt_off[f] + gt_counts[f];
+    dt_off[f + 1] = dt_off[f] + dt_counts[f];
+    dc_off[f + 1] = dc_off[f] + dc_counts[f];
+  }
+  int64_t nt = num_threads > 0
+                   ? num_threads
+                   : (int64_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > n_frames) nt = n_frames;
+  if (n_frames < 64) nt = 1;
+  std::vector<std::vector<double>> partials(
+      (size_t)nt, std::vector<double>(num_t * 4, 0.0));
+  auto work = [&](int64_t t0, int64_t t1, std::vector<double>& acc) {
+    for (int64_t f = t0; f < t1; ++f) {
+      kitti_eval_fused_statistics(
+          overlaps_flat + ov_off[f], dt_counts[f], gt_counts[f],
+          gt_datas_flat + gt_off[f] * 5, dt_datas_flat + dt_off[f] * 6,
+          ignored_gt_flat + gt_off[f], ignored_det_flat + dt_off[f],
+          dc_flat + dc_off[f] * 4, dc_counts[f], metric, min_overlap,
+          thresholds, num_t, compute_aos, acc.data());
+    }
+  };
+  if (nt == 1) {
+    work(0, n_frames, partials[0]);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t per = (n_frames + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+      const int64_t a = t * per;
+      const int64_t b = std::min(n_frames, a + per);
+      if (a >= b) break;
+      ts.emplace_back(work, a, b, std::ref(partials[(size_t)t]));
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (const auto& acc : partials)
+    for (int64_t i = 0; i < num_t * 4; ++i) pr[i] += acc[i];
+}
+
+int64_t kitti_eval_collect_thresholds(
+    const double* overlaps, int64_t num_dt, int64_t num_gt,
+    const double* dt_scores, const int32_t* ignored_gt,
+    const int32_t* ignored_det, double min_overlap, double* out_scores);
+
+// Batched threshold collection: out_scores must hold sum(gt_counts).
+int64_t kitti_eval_collect_thresholds_batch(
+    const double* overlaps_flat, const int64_t* dt_counts,
+    const int64_t* gt_counts, int64_t n_frames,
+    const double* dt_scores_flat, const int32_t* ignored_gt_flat,
+    const int32_t* ignored_det_flat, double min_overlap,
+    double* out_scores) {
+  int64_t ov_off = 0, gt_off = 0, dt_off = 0, n_out = 0;
+  for (int64_t f = 0; f < n_frames; ++f) {
+    n_out += kitti_eval_collect_thresholds(
+        overlaps_flat + ov_off, dt_counts[f], gt_counts[f],
+        dt_scores_flat + dt_off, ignored_gt_flat + gt_off,
+        ignored_det_flat + dt_off, min_overlap, out_scores + n_out);
+    ov_off += dt_counts[f] * gt_counts[f];
+    gt_off += gt_counts[f];
+    dt_off += dt_counts[f];
+  }
+  return n_out;
+}
+
+// ---------------------------------------- KITTI eval threshold collection
+// The matching pass at thresh=0 / compute_fp=false: every evaluated gt
+// takes the max-SCORE unassigned detection above min_overlap; matched
+// tp scores are the candidate thresholds fed to get_thresholds
+// (reference compute_statistics_jit's thresholds list). out_scores must
+// hold num_gt doubles; returns the number written.
+int64_t kitti_eval_collect_thresholds(
+    const double* overlaps, int64_t num_dt, int64_t num_gt,
+    const double* dt_scores,
+    const int32_t* ignored_gt, const int32_t* ignored_det,
+    double min_overlap, double* out_scores) {
+  constexpr double NO_DETECTION = -10000000.0;
+  std::vector<char> assigned(num_dt, 0);
+  int64_t n_out = 0;
+  for (int64_t i = 0; i < num_gt; ++i) {
+    if (ignored_gt[i] == -1) continue;
+    int64_t det_idx = -1;
+    double valid_detection = NO_DETECTION;
+    for (int64_t j = 0; j < num_dt; ++j) {
+      if (ignored_det[j] == -1 || assigned[j]) continue;
+      if (overlaps[j * num_gt + i] > min_overlap &&
+          dt_scores[j] > valid_detection) {
+        det_idx = j;
+        valid_detection = dt_scores[j];
+      }
+    }
+    if (valid_detection == NO_DETECTION) continue;
+    if (ignored_gt[i] == 1 || ignored_det[det_idx] == 1) {
+      assigned[det_idx] = 1;
+    } else {
+      out_scores[n_out++] = dt_scores[det_idx];
+      assigned[det_idx] = 1;
+    }
+  }
+  return n_out;
 }
 
 // ------------------------------------------------------- anchors-area SAT

@@ -380,6 +380,72 @@ def _ccw(poly: np.ndarray) -> np.ndarray:
     return poly if _signed_area(poly) >= 0 else poly[::-1]
 
 
+def _fill_invalid_with_left_np(vx, vy, m, slots: int):
+    """Replace invalid ring slots with the nearest valid slot to the
+    LEFT (cyclically) — numpy twin of ``ops.iou._fill_invalid_with_left``
+    (Hillis–Steele doubling scan of rolls and selects)."""
+    k = 1
+    while k < slots:
+        take = ~m
+        vx = np.where(take, np.roll(vx, k, axis=-1), vx)
+        vy = np.where(take, np.roll(vy, k, axis=-1), vy)
+        m = m | np.roll(m, k, axis=-1)
+        k *= 2
+    return vx, vy, m
+
+
+def batched_intersection_area(ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Intersection areas of convex-quad pairs ``[M, 4, 2] x [M, 4, 2]``
+    → ``[M]`` in one vectorized pass — the host twin of the jittable
+    ``ops.iou.rotated_intersection_area`` (same Sutherland–Hodgman
+    masked-ring construction: clip A by B's four halfplanes over a
+    doubling slot buffer, no per-pair python). Replaces the former
+    per-pair ``_polygon_clip`` loop on the eval path."""
+    ca = np.asarray(ca, np.float64)
+    cb = np.asarray(cb, np.float64)
+    bx, by = cb[..., 0], cb[..., 1]
+    nbx = np.roll(bx, -1, axis=-1)
+    nby = np.roll(by, -1, axis=-1)
+    orient = np.sign(np.sum(bx * nby - nbx * by, axis=-1))[..., None]
+
+    vx, vy = ca[..., 0], ca[..., 1]
+    m = np.ones(vx.shape, bool)
+    slots = 4
+    for e in range(4):
+        ax = cb[..., e, 0][..., None]
+        ay = cb[..., e, 1][..., None]
+        dx = cb[..., (e + 1) % 4, 0][..., None] - ax
+        dy = cb[..., (e + 1) % 4, 1][..., None] - ay
+        vx, vy, m = _fill_invalid_with_left_np(vx, vy, m, slots)
+        any_valid = m[..., :1]
+        # one halfplane clip: slot 2i keeps vertex i when inside, slot
+        # 2i+1 the boundary intersection when edge (i, i+1) crosses
+        cr = (dx * (vy - ay) - dy * (vx - ax)) * orient
+        inside = cr >= 0
+        nvx = np.roll(vx, -1, axis=-1)
+        nvy = np.roll(vy, -1, axis=-1)
+        ncr = np.roll(cr, -1, axis=-1)
+        ninside = np.roll(inside, -1, axis=-1)
+        denom = cr - ncr
+        t = cr / np.where(denom == 0, 1.0, denom)
+        ix = vx + t * (nvx - vx)
+        iy = vy + t * (nvy - vy)
+        crossing = (inside != ninside) & (denom != 0)
+        vx = np.stack([vx, ix], axis=-1).reshape(*vx.shape[:-1], -1)
+        vy = np.stack([vy, iy], axis=-1).reshape(*vy.shape[:-1], -1)
+        m = np.stack([inside, crossing], axis=-1).reshape(
+            *inside.shape[:-1], -1
+        )
+        m = m & any_valid
+        slots *= 2
+
+    vx, vy, m = _fill_invalid_with_left_np(vx, vy, m, slots)
+    nvx = np.roll(vx, -1, axis=-1)
+    nvy = np.roll(vy, -1, axis=-1)
+    area2 = np.sum(vx * nvy - nvx * vy, axis=-1)
+    return np.where(m[..., 0], 0.5 * np.abs(area2), 0.0)
+
+
 def _polygon_clip(subject: np.ndarray, clip: np.ndarray) -> float:
     """Area of the intersection of two convex polygons
     (Sutherland–Hodgman; both inputs normalized to CCW winding)."""
@@ -458,18 +524,19 @@ def _rotate_iou_cpu_np(
     standup = iou_2d(s1.astype(np.float32), s2.astype(np.float32))
     area1 = rbboxes[:, 2] * rbboxes[:, 3]
     area2 = qrbboxes[:, 2] * qrbboxes[:, 3]
-    for i, j in zip(*np.nonzero(standup > standup_thresh)):
-        inter = _polygon_clip(c1[i], c2[j])
-        if criterion == -1:
-            denom = area1[i] + area2[j] - inter
-        elif criterion == 0:
-            denom = area1[i]
-        elif criterion == 1:
-            denom = area2[j]
-        else:
-            denom = 1.0
-        if denom > 0:
-            out[i, j] = inter / denom
+    sel_i, sel_j = np.nonzero(standup > standup_thresh)
+    if len(sel_i) == 0:
+        return out
+    inter = batched_intersection_area(c1[sel_i], c2[sel_j])
+    if criterion == -1:
+        denom = area1[sel_i] + area2[sel_j] - inter
+    elif criterion == 0:
+        denom = area1[sel_i]
+    elif criterion == 1:
+        denom = area2[sel_j]
+    else:
+        denom = np.ones_like(inter)
+    out[sel_i, sel_j] = np.where(denom > 0, inter / denom, 0.0)
     return out
 
 

@@ -63,50 +63,43 @@ def get_thresholds(scores: np.ndarray, num_gt: int,
     return thresholds
 
 
+# neighbor classes are ignored rather than counted as FPs
+_NEIGHBOR_CLASS = {"car": "van", "pedestrian": "person_sitting"}
+
+
 def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
     """Per-frame GT/DT validity labels: 0 evaluated, 1 ignored, -1 other
     class. Neighbor classes (Van↔Car, Person_sitting↔Pedestrian) are
-    ignored rather than counted as FPs."""
-    current_cls_name = _CLASS_NAMES_LOWER[current_class]
-    dc_bboxes, ignored_gt, ignored_dt = [], [], []
-    num_valid_gt = 0
-    for i in range(len(gt_anno["name"])):
-        bbox = gt_anno["bbox"][i]
-        gt_name = gt_anno["name"][i].lower()
-        height = bbox[3] - bbox[1]
-        if gt_name == current_cls_name:
-            valid_class = 1
-        elif current_cls_name == "pedestrian" and gt_name == "person_sitting":
-            valid_class = 0
-        elif current_cls_name == "car" and gt_name == "van":
-            valid_class = 0
-        else:
-            valid_class = -1
-        ignore = (
-            gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
-            or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
-            or height <= MIN_HEIGHT[difficulty]
-        )
-        if valid_class == 1 and not ignore:
-            ignored_gt.append(0)
-            num_valid_gt += 1
-        elif valid_class == 0 or (ignore and valid_class == 1):
-            ignored_gt.append(1)
-        else:
-            ignored_gt.append(-1)
-        if gt_anno["name"][i] == "DontCare":
-            dc_bboxes.append(gt_anno["bbox"][i])
-    for i in range(len(dt_anno["name"])):
-        valid_class = (
-            1 if dt_anno["name"][i].lower() == current_cls_name else -1
-        )
-        height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
-        if height < MIN_HEIGHT[difficulty]:
-            ignored_dt.append(1)
-        elif valid_class == 1:
-            ignored_dt.append(0)
-        else:
-            ignored_dt.append(-1)
+    ignored rather than counted as FPs. Vectorized (the per-name python
+    loop was ~25% of official-eval wall time at val-split scale)."""
+    cls = _CLASS_NAMES_LOWER[current_class]
+    gt_names = np.char.lower(np.asarray(gt_anno["name"], dtype=str))
+    gt_bbox = np.asarray(gt_anno["bbox"], np.float64).reshape(-1, 4)
+    # gt validity: 1 = current class, 0 = ignored neighbor, -1 = other
+    valid = np.where(gt_names == cls, 1, -1)
+    neighbor = _NEIGHBOR_CLASS.get(cls)
+    if neighbor is not None:
+        valid = np.where(gt_names == neighbor, 0, valid)
+    height = gt_bbox[:, 3] - gt_bbox[:, 1]
+    ignore = (
+        (np.asarray(gt_anno["occluded"]) > MAX_OCCLUSION[difficulty])
+        | (np.asarray(gt_anno["truncated"]) > MAX_TRUNCATION[difficulty])
+        | (height <= MIN_HEIGHT[difficulty])
+    )
+    counted = (valid == 1) & ~ignore
+    ignored_gt = np.where(
+        counted, 0, np.where(valid >= 0, 1, -1)
+    ).astype(np.int64)
+    num_valid_gt = int(counted.sum())
+    dc_bboxes = list(gt_bbox[np.asarray(gt_anno["name"]) == "DontCare"])
+
+    dt_names = np.char.lower(np.asarray(dt_anno["name"], dtype=str))
+    dt_bbox = np.asarray(dt_anno["bbox"], np.float64).reshape(-1, 4)
+    dt_height = np.abs(dt_bbox[:, 3] - dt_bbox[:, 1])
+    ignored_dt = np.where(
+        dt_height < MIN_HEIGHT[difficulty], 1,
+        np.where(dt_names == cls, 0, -1),
+    ).astype(np.int64)
     return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
 
 
@@ -142,32 +135,43 @@ def bev_box_overlap(boxes, qboxes, criterion=-1):
 
 def d3_box_overlap(boxes, qboxes, criterion=-1):
     """3D overlap in CAMERA coords: boxes [N, 7] (x, y, z, l, h, w, ry).
-    BEV rotated intersection × height overlap (reference :131-162)."""
+    BEV rotated intersection × height overlap (reference :131-162).
+    Fully-fused C++ fast path (``papc_cc.d3_box_overlap``); the numpy
+    twin below is vectorized over the whole [N, K] matrix."""
+    boxes = np.asarray(boxes)
+    qboxes = np.asarray(qboxes)
+    try:
+        from papc_tpu import cc
+
+        if cc.available():
+            return cc.d3_box_overlap(boxes, qboxes, criterion)
+    except Exception:
+        pass
+    return _d3_box_overlap_np(boxes, qboxes, criterion)
+
+
+def _d3_box_overlap_np(boxes, qboxes, criterion=-1):
     rinc = box_np.rotate_iou_cpu(
         boxes[:, [0, 2, 3, 5, 6]], qboxes[:, [0, 2, 3, 5, 6]], criterion=2
     )
-    N, K = rinc.shape
-    out = np.zeros_like(rinc)
-    for i in range(N):
-        for j in range(K):
-            if rinc[i, j] > 0:
-                iw = min(boxes[i, 1], qboxes[j, 1]) - max(
-                    boxes[i, 1] - boxes[i, 4], qboxes[j, 1] - qboxes[j, 4]
-                )
-                if iw > 0:
-                    area1 = boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
-                    area2 = qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5]
-                    inc = iw * rinc[i, j]
-                    if criterion == -1:
-                        ua = area1 + area2 - inc
-                    elif criterion == 0:
-                        ua = area1
-                    elif criterion == 1:
-                        ua = area2
-                    else:
-                        ua = 1.0
-                    out[i, j] = inc / ua
-    return out
+    # y is the box BOTTOM in camera frame: overlap of [y-h, y] intervals
+    iw = np.minimum(boxes[:, None, 1], qboxes[None, :, 1]) - np.maximum(
+        boxes[:, None, 1] - boxes[:, None, 4],
+        qboxes[None, :, 1] - qboxes[None, :, 4],
+    )
+    inc = iw * rinc
+    vol1 = np.prod(boxes[:, 3:6], axis=1)[:, None]
+    vol2 = np.prod(qboxes[:, 3:6], axis=1)[None, :]
+    if criterion == -1:
+        ua = vol1 + vol2 - inc
+    elif criterion == 0:
+        ua = np.broadcast_to(vol1, inc.shape)
+    elif criterion == 1:
+        ua = np.broadcast_to(vol2, inc.shape)
+    else:
+        ua = np.ones_like(inc)
+    valid = (rinc > 0) & (iw > 0) & (ua > 0)
+    return np.where(valid, inc / np.where(ua > 0, ua, 1.0), 0.0)
 
 
 def compute_statistics(
@@ -281,42 +285,80 @@ def compute_statistics(
     return tp, fp, fn, similarity, np.asarray(thresholds)
 
 
-def _frame_overlaps(gt_annos, dt_annos, metric):
-    """Per-frame [num_dt, num_gt] overlap matrices."""
-    overlaps = []
-    for gt, dt in zip(gt_annos, dt_annos):
-        if metric == 0:
-            o = image_box_overlap(
-                np.asarray(dt["bbox"]).reshape(-1, 4),
-                np.asarray(gt["bbox"]).reshape(-1, 4),
+def _metric_boxes(anno, metric):
+    """One frame's boxes in the metric's geometry."""
+    n = len(anno["name"])
+    if metric == 0:
+        return np.asarray(anno["bbox"], np.float64).reshape(-1, 4)
+    if metric == 1:
+        if not n:
+            return np.zeros((0, 5))
+        return np.concatenate(
+            [
+                anno["location"][:, [0, 2]],
+                anno["dimensions"][:, [0, 2]],
+                anno["rotation_y"][..., None],
+            ],
+            axis=1,
+        )
+    if metric == 2:
+        if not n:
+            return np.zeros((0, 7))
+        return np.concatenate(
+            [
+                anno["location"],
+                anno["dimensions"],
+                anno["rotation_y"][..., None],
+            ],
+            axis=1,
+        )
+    raise ValueError("unknown metric")
+
+
+def _frame_overlaps(gt_annos, dt_annos, metric, frames_per_part=1):
+    """Per-frame [num_dt, num_gt] overlap matrices.
+
+    ``frames_per_part > 1`` computes frame-concatenated PARTS (the
+    reference's ``calculate_iou_partly`` chunking,
+    ``libs/tools/eval.py:345``: one kernel call per part, then the
+    per-frame diagonal blocks are sliced out). Measured r4 on this
+    stack, chunking is a PESSIMIZATION with the C++ kernels (the part
+    matrix scales the standup-prefilter pair loop ~50×: 1.7 s vs 0.2 s
+    at val-split scale) and neutral on the vectorized numpy fallback —
+    the reference chunked to amortize numba/CUDA launch overhead that
+    the ctypes path doesn't have. Per-frame is therefore the default;
+    the part path stays for memory-bounded very-large-K use."""
+    overlap_fn = {
+        0: image_box_overlap,
+        1: lambda d, g: bev_box_overlap(d, g).astype(np.float64),
+        2: lambda d, g: d3_box_overlap(d, g).astype(np.float64),
+    }[metric]
+    if frames_per_part <= 1:
+        return [
+            overlap_fn(
+                _metric_boxes(dt, metric), _metric_boxes(gt, metric)
             )
-        elif metric == 1:
-            def bev(a):
-                return np.concatenate(
-                    [
-                        a["location"][:, [0, 2]],
-                        a["dimensions"][:, [0, 2]],
-                        a["rotation_y"][..., None],
-                    ],
-                    axis=1,
-                ) if len(a["name"]) else np.zeros((0, 5))
-
-            o = bev_box_overlap(bev(dt), bev(gt)).astype(np.float64)
-        elif metric == 2:
-            def full(a):
-                return np.concatenate(
-                    [
-                        a["location"],
-                        a["dimensions"],
-                        a["rotation_y"][..., None],
-                    ],
-                    axis=1,
-                ) if len(a["name"]) else np.zeros((0, 7))
-
-            o = d3_box_overlap(full(dt), full(gt)).astype(np.float64)
-        else:
-            raise ValueError("unknown metric")
-        overlaps.append(o)
+            for gt, dt in zip(gt_annos, dt_annos)
+        ]
+    overlaps = []
+    n_frames = len(gt_annos)
+    for start in range(0, n_frames, frames_per_part):
+        gts = gt_annos[start:start + frames_per_part]
+        dts = dt_annos[start:start + frames_per_part]
+        gt_boxes = [_metric_boxes(a, metric) for a in gts]
+        dt_boxes = [_metric_boxes(a, metric) for a in dts]
+        big = overlap_fn(
+            np.concatenate(dt_boxes, axis=0),
+            np.concatenate(gt_boxes, axis=0),
+        )
+        r0 = 0
+        c0 = 0
+        for db, gb in zip(dt_boxes, gt_boxes):
+            overlaps.append(
+                big[r0:r0 + len(db), c0:c0 + len(gb)]
+            )
+            r0 += len(db)
+            c0 += len(gb)
     return overlaps
 
 
@@ -373,10 +415,16 @@ def eval_class(
     metric: int,
     min_overlap: float,
     compute_aos: bool = False,
+    overlaps=None,
 ):
-    """41-point precision/recall(/AOS) for one class+difficulty+metric."""
+    """41-point precision/recall(/AOS) for one class+difficulty+metric.
+
+    ``overlaps`` may carry precomputed ``_frame_overlaps(..., metric)``
+    — they depend only on the metric, so callers sweeping difficulties
+    and min-overlap settings (``do_eval``) share one computation."""
     assert len(gt_annos) == len(dt_annos)
-    overlaps = _frame_overlaps(gt_annos, dt_annos, metric)
+    if overlaps is None:
+        overlaps = _frame_overlaps(gt_annos, dt_annos, metric)
     (
         gt_datas_list,
         dt_datas_list,
@@ -386,36 +434,27 @@ def eval_class(
         total_num_valid_gt,
     ) = _prepare_data(gt_annos, dt_annos, current_class, difficulty)
 
-    thresholdss = []
-    for i in range(len(gt_annos)):
-        _, _, _, _, th = compute_statistics(
-            overlaps[i],
-            gt_datas_list[i],
-            dt_datas_list[i],
-            ignored_gts[i],
-            ignored_dets[i],
-            dontcares[i],
-            metric,
-            min_overlap,
-            thresh=0.0,
-            compute_fp=False,
-        )
-        thresholdss += th.tolist()
-    thresholds = np.asarray(
-        get_thresholds(np.asarray(thresholdss), total_num_valid_gt)
-    )
-    pr = np.zeros([len(thresholds), 4], dtype=np.float64)
     try:
         from papc_tpu import cc
 
-        use_cc = cc.available() and len(thresholds) > 0
+        use_cc = cc.available()
     except Exception:
         use_cc = False
+
+    thresholdss = []
     if use_cc:
         from papc_tpu import cc
 
+        thresholdss = cc.kitti_eval_collect_thresholds_batch(
+            [np.ascontiguousarray(o, np.float64) for o in overlaps],
+            [d[:, -1] for d in dt_datas_list],
+            ignored_gts,
+            ignored_dets,
+            min_overlap,
+        ).tolist()
+    else:
         for i in range(len(gt_annos)):
-            cc.kitti_eval_fused_statistics(
+            _, _, _, _, th = compute_statistics(
                 overlaps[i],
                 gt_datas_list[i],
                 dt_datas_list[i],
@@ -424,10 +463,30 @@ def eval_class(
                 dontcares[i],
                 metric,
                 min_overlap,
-                thresholds,
-                compute_aos,
-                pr,
+                thresh=0.0,
+                compute_fp=False,
             )
+            thresholdss += th.tolist()
+    thresholds = np.asarray(
+        get_thresholds(np.asarray(thresholdss), total_num_valid_gt)
+    )
+    pr = np.zeros([len(thresholds), 4], dtype=np.float64)
+    if use_cc and len(thresholds) > 0:
+        from papc_tpu import cc
+
+        cc.kitti_eval_fused_statistics_batch(
+            [np.ascontiguousarray(o, np.float64) for o in overlaps],
+            gt_datas_list,
+            dt_datas_list,
+            ignored_gts,
+            ignored_dets,
+            dontcares,
+            metric,
+            min_overlap,
+            thresholds,
+            compute_aos,
+            pr,
+        )
     else:
         for i in range(len(gt_annos)):
             for t, thresh in enumerate(thresholds):
@@ -468,27 +527,43 @@ def eval_class(
 
 
 def do_eval(
-    gt_annos, dt_annos, current_class, min_overlaps, compute_aos=False
+    gt_annos, dt_annos, current_class, min_overlaps, compute_aos=False,
+    overlap_cache=None,
 ):
     """min_overlaps: [bbox_overlap, bev_overlap, 3d_overlap]. Returns
-    (mAP_bbox, mAP_bev, mAP_3d, mAP_aos) each per-difficulty list."""
+    (mAP_bbox, mAP_bev, mAP_3d, mAP_aos) each per-difficulty list.
+    ``overlap_cache`` (a dict, keyed by metric) shares the per-frame
+    overlap matrices across difficulties, classes, and min-overlap
+    settings — they depend only on the metric."""
+    if overlap_cache is None:
+        overlap_cache = {}
+
+    def _overlaps(metric):
+        if metric not in overlap_cache:
+            overlap_cache[metric] = _frame_overlaps(
+                gt_annos, dt_annos, metric
+            )
+        return overlap_cache[metric]
+
     mAP_bbox, mAP_aos, mAP_bev, mAP_3d = [], [], [], []
     for d in range(3):
         ret = eval_class(
             gt_annos, dt_annos, current_class, d, 0,
-            min_overlaps[0], compute_aos,
+            min_overlaps[0], compute_aos, overlaps=_overlaps(0),
         )
         mAP_bbox.append(float(get_mAP(ret["precision"])))
         if compute_aos:
             mAP_aos.append(float(get_mAP(ret["orientation"])))
     for d in range(3):
         ret = eval_class(
-            gt_annos, dt_annos, current_class, d, 1, min_overlaps[1]
+            gt_annos, dt_annos, current_class, d, 1, min_overlaps[1],
+            overlaps=_overlaps(1),
         )
         mAP_bev.append(float(get_mAP(ret["precision"])))
     for d in range(3):
         ret = eval_class(
-            gt_annos, dt_annos, current_class, d, 2, min_overlaps[2]
+            gt_annos, dt_annos, current_class, d, 2, min_overlaps[2],
+            overlaps=_overlaps(2),
         )
         mAP_3d.append(float(get_mAP(ret["precision"])))
     return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
@@ -534,13 +609,14 @@ def get_official_eval_result(
             break
     result = ""
     data = {}
+    overlap_cache = {}  # per-frame overlaps depend only on the metric
     for cls in current_classes:
         for tag, overlaps in (("0.7", OVERLAP_0_7), ("0.5", OVERLAP_0_5)):
             mo = overlaps[:, cls]
             # per-metric thresholds: bbox/bev/3d all use the class column
             mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
                 gt_annos, dt_annos, cls, [mo[0], mo[1], mo[2]],
-                compute_aos,
+                compute_aos, overlap_cache=overlap_cache,
             )
             result += _print_str(
                 f"{CLASS_TO_NAME[cls]} "

@@ -237,6 +237,14 @@ def decode_raw(
     return boxes, total_scores, dir_labels
 
 
+def apply_direction_flip(boxes7: jax.Array, dir_labels: jax.Array):
+    """Opposite-direction fix: add pi to the yaw exactly where
+    ``(yaw > 0) XOR dir_label`` (reference :369-374 — strict ``> 0``, so
+    yaw exactly 0 counts as the non-positive side)."""
+    opp = (boxes7[..., -1] > 0) ^ (dir_labels.astype(bool))
+    return boxes7.at[..., -1].add(jnp.where(opp, jnp.pi, 0.0))
+
+
 def predict(
     preds: dict,
     anchors: jax.Array,  # [B, A, 7]
@@ -303,10 +311,7 @@ def predict(
         boxes, top_scores, top_labels, dir_labels, valid
     )
     if cfg.use_direction_classifier:
-        # opposite-direction fix: add pi where sign(yaw) disagrees with
-        # the direction classifier (reference :369-374)
-        opp = (b[..., -1] > 0) ^ (d.astype(bool))
-        b = b.at[..., -1].add(jnp.where(opp, jnp.pi, 0.0))
+        b = apply_direction_flip(b, d)
     return {
         "box3d_lidar": b,
         "scores": s,

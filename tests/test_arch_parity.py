@@ -135,6 +135,130 @@ def test_voxnet_widths():
     assert ks["['Dense_1']['kernel']"] == (128, 10)
 
 
+def test_vfe_tile_concat_chain():
+    """Reference classify/vfe/vfe.py:72-86 — the VFE quirk: stage-1
+    per-point features [B, N, F] are concatenated with the GLOBAL max
+    tiled back onto every point, so stage-2 consumes [per-point ||
+    global] with the global half identical across points, and the
+    stage-2 output width is (oddly) max_points itself."""
+    from papc_tpu.models.classify.vfe import VFEBlock
+
+    B, N, F, MP = 2, 64, 256, 1024
+    block = VFEBlock(feature_channels=F, max_points=MP)
+    pts = jax.random.normal(KEY, (B, N, 3))
+    params = block.init(KEY, pts, train=False)
+    x1, x2 = block.apply(params, pts, train=False)
+    # concat layout: [B, N, 2F]; x2 width == max_points
+    assert x1.shape == (B, N, 2 * F)
+    assert x2.shape == (B, N, MP)
+    # the global half is constant across points and equals the per-point
+    # half's max over points
+    per_point, tiled_global = x1[..., :F], x1[..., F:]
+    np.testing.assert_allclose(
+        np.asarray(tiled_global),
+        np.broadcast_to(
+            np.max(np.asarray(per_point), axis=1, keepdims=True),
+            tiled_global.shape,
+        ),
+        rtol=1e-6,
+    )
+    # stage-2 trunk input width is 2F = 512 (reference pointnet_2 takes
+    # feature_channels*2)
+    ks = kernel_shapes(params["params"])
+    assert ks["['PointMLP_2']['Dense_0']['kernel']"] == (2 * F, 64)
+    assert ks["['PointMLP_3']['Dense_2']['kernel']"] == (128, MP)
+
+
+def test_vfe_seg_tile_concat_chain():
+    """Reference segment/vfe/vfe.py:83-97 + VFE_Seg — the seg variant
+    tiles the pooled stage-2 global feature [B, 1, max_points] back onto
+    every point and concatenates with x1, so the seg head consumes
+    2F + max_points = 1536 channels."""
+    ks = kernel_shapes(init_points_model("vfe", "seg"))
+    assert ks["['SegHead_0']['PointMLP_0']['Dense_0']['kernel']"] == (
+        2 * 256 + 1024,
+        512,
+    )
+
+
+def test_kdunet_skip_topology():
+    """Reference segment/kdunet/kdunet.py:51-53,77-96 — the KDUNet
+    quirk: skips are captured BEFORE each kdconv (the level's input, not
+    its output), which yields the odd decoder concat widths
+    1024/768/320/288/131:
+
+    - doubleconv1: deconv(1024→512) ++ skip[-1] (level-5 input, 512ch)
+    - doubleconv2: deconv(512→512) ++ skip[-2] (level-4 input, 256ch)
+    - doubleconv3: deconv(512→256) ++ skip[-3] (level-3 input, 64ch)
+    - doubleconv4: deconv(256→256) ++ skip[-4] (level-2 input, 32ch)
+    - doubleconv5: deconv(128→128) ++ skip[-5] (raw xyz, 3ch) = 131
+    """
+    spec = init_model("kdunet", "seg", num_classes=50, max_point=1024)
+    pts = jnp.zeros((1, 1024, 3))
+    splits = tuple(
+        jnp.zeros((1, 1024 >> l), jnp.int32) for l in range(5)
+    )
+    ks = kernel_shapes(
+        spec.model.init(KEY, pts, splits, train=False)["params"]
+    )
+    assert ks["['ConvTranspose_0']['kernel']"] == (2, 1024, 512)
+    assert ks["['PointMLP_0']['Dense_0']['kernel']"] == (1024, 512)
+    assert ks["['ConvTranspose_1']['kernel']"] == (2, 512, 512)
+    assert ks["['PointMLP_1']['Dense_0']['kernel']"] == (768, 512)
+    assert ks["['ConvTranspose_2']['kernel']"] == (2, 512, 256)
+    assert ks["['PointMLP_2']['Dense_0']['kernel']"] == (320, 256)
+    assert ks["['ConvTranspose_3']['kernel']"] == (2, 256, 256)
+    assert ks["['PointMLP_3']['Dense_0']['kernel']"] == (288, 128)
+    assert ks["['ConvTranspose_4']['kernel']"] == (2, 128, 128)
+    assert ks["['PointMLP_4']['Dense_0']['kernel']"] == (131, 128)
+    assert ks["['Dense_0']['kernel']"] == (128, 50)
+
+
+def test_direction_target_pi_flip_edges():
+    """Reference detectors/pointpillars.py:575-585 — the direction
+    target is STRICTLY ``rot_gt > 0``: yaw exactly 0 and exactly -pi
+    are class 0, +pi is class 1. Also the predict-side opposite-
+    direction fix (reference :369-374): add pi where sign(yaw)>0 XOR
+    dir-label."""
+    from papc_tpu.detect.detector import get_direction_target
+
+    # anchors carry yaw in the last dim; reg target adds the residual
+    yaws = jnp.array([-np.pi, -1e-6, 0.0, 1e-6, np.pi])
+    anchors = jnp.zeros((1, 5, 7)).at[..., -1].set(yaws)
+    reg_targets = jnp.zeros((1, 5, 7))
+    t = get_direction_target(anchors, reg_targets, one_hot=False)
+    np.testing.assert_array_equal(np.asarray(t)[0], [0, 0, 0, 1, 1])
+    # one-hot form matches
+    oh = get_direction_target(anchors, reg_targets, one_hot=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(oh, -1))[0], [0, 0, 0, 1, 1]
+    )
+    # the same boundary through a reg-target residual that lands the sum
+    # exactly on 0: anchor yaw pi, residual -pi -> class 0
+    anchors2 = jnp.zeros((1, 1, 7)).at[..., -1].set(np.pi)
+    regs2 = jnp.zeros((1, 1, 7)).at[..., -1].set(-np.pi)
+    t2 = get_direction_target(anchors2, regs2, one_hot=False)
+    assert int(t2[0, 0]) == 0
+
+
+def test_predict_opposite_direction_flip():
+    """Reference detectors/pointpillars.py:369-374 — +pi is added to the
+    decoded yaw exactly where (yaw > 0) XOR dir_label, with yaw exactly
+    0 counted as the non-positive side (strict >)."""
+    from papc_tpu.detect.detector import apply_direction_flip
+
+    yaw = jnp.array([-1.0, -1.0, 1.0, 1.0, 0.0, 0.0])
+    boxes = jnp.zeros((6, 7)).at[:, -1].set(yaw)
+    dirs = jnp.array([0, 1, 0, 1, 0, 1])
+    fixed = apply_direction_flip(boxes, dirs)
+    # yaw<=0 & dir=1 flips; yaw>0 & dir=0 flips; 0 counts as non-positive
+    np.testing.assert_allclose(
+        np.asarray(fixed[:, -1]),
+        [-1.0, -1.0 + np.pi, 1.0 + np.pi, 1.0, 0.0, np.pi],
+        rtol=1e-6,
+    )
+
+
 def test_kdnet_widths():
     """Reference classify/kdnet/kdnet.py — 10 levels with feature widths
     (32,64,64,128,128,256,256,512,512,128), each Dense to 3*width."""

@@ -31,13 +31,18 @@ def sharded_ball_query(
     new_xyz: jax.Array,  # [B, S, 3] — replicated
     mesh: Mesh,
     axis: str = "data",
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Ball query with the point axis sharded.
 
     Each device finds its slab's first-``nsample`` in-radius candidates
     (as global indices), then an all_gather + top-k merges slabs. Output
-    ``[B, S, nsample]`` replicated, identical to
+    ``[B, S, nsample]`` replicated over ``axis``, identical to
     :func:`papc_tpu.ops.query_ball_point` on the gathered cloud.
+
+    ``batch_axis`` optionally shards the batch dim over a second mesh
+    axis (dp×sp composition: batch over ``data``, points over
+    ``model``); collectives stay confined to ``axis``.
     """
     B, N, _ = xyz.shape
     n_dev = mesh.shape[axis]
@@ -55,9 +60,9 @@ def sharded_ball_query(
         neg_top, _ = lax.top_k(-cand, k)  # k smallest global ids
         local_best = -neg_top  # [B, S, k]
         # merge across shards: [n_dev, B, S, k] → smallest nsample
-        all_best = lax.all_gather(local_best, axis)  # [n_dev, B, S, k]
+        all_best = lax.all_gather(local_best, axis)  # [n_dev, Bl, S, k]
         merged = jnp.moveaxis(all_best, 0, 2).reshape(
-            B, queries.shape[1], n_dev * k
+            queries.shape[0], queries.shape[1], n_dev * k
         )
         neg_top, _ = lax.top_k(-merged, nsample)
         group_idx = -neg_top
@@ -68,8 +73,11 @@ def sharded_ball_query(
     fn = shard_map(
         local_candidates,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, None, None)),
-        out_specs=P(None, None, None),
+        in_specs=(
+            P(batch_axis, axis, None),
+            P(batch_axis, None, None),
+        ),
+        out_specs=P(batch_axis, None, None),
         check_vma=False,
     )
     return fn(xyz, new_xyz)
@@ -81,6 +89,7 @@ def sharded_fps(
     mesh: Mesh,
     axis: str = "data",
     start_idx: int = 0,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Farthest point sampling with the point axis sharded.
 
@@ -88,6 +97,8 @@ def sharded_fps(
     proposes (local max, global idx); one ``pmax``-style reduction picks
     the global winner; the winner's coordinates are broadcast with a
     masked ``psum``. Matches the single-device recursion exactly.
+    ``batch_axis`` optionally shards the batch dim over a second mesh
+    axis (dp×sp composition); collectives stay confined to ``axis``.
     """
     B, N, _ = xyz.shape
     n_dev = mesh.shape[axis]
@@ -95,7 +106,8 @@ def sharded_fps(
     n_local = N // n_dev
 
     def run(xyz_local):
-        # xyz_local: [B, n_local, 3]
+        # xyz_local: [Bl, n_local, 3] (Bl = B / dp when batch_axis set)
+        Bl = xyz_local.shape[0]
         shard = lax.axis_index(axis)
         offset = (shard * n_local).astype(jnp.int32)
         gids = offset + jnp.arange(n_local, dtype=jnp.int32)  # [n_local]
@@ -131,9 +143,9 @@ def sharded_fps(
             )[0].astype(jnp.int32)
             return distance, farthest, out
 
-        distance0 = jnp.full((B, n_local), jnp.inf, jnp.float32)
-        farthest0 = jnp.full((B,), start_idx, jnp.int32)
-        out0 = jnp.zeros((B, npoint), jnp.int32)
+        distance0 = jnp.full((Bl, n_local), jnp.inf, jnp.float32)
+        farthest0 = jnp.full((Bl,), start_idx, jnp.int32)
+        out0 = jnp.zeros((Bl, npoint), jnp.int32)
         _, _, out = lax.fori_loop(
             0, npoint, body, (distance0, farthest0, out0)
         )
@@ -142,8 +154,8 @@ def sharded_fps(
     fn = shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(None, axis, None),),
-        out_specs=P(None, None),
+        in_specs=(P(batch_axis, axis, None),),
+        out_specs=P(batch_axis, None),
         check_vma=False,
     )
     return fn(xyz)

@@ -47,3 +47,42 @@ def test_sharded_fps_full_sample(rng, mesh):
     xyz = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
     got = np.asarray(sharded_fps(xyz, 32, mesh, start_idx=3))
     assert len(np.unique(got[0])) == 32
+
+
+@pytest.fixture(scope="module")
+def dp_sp_mesh():
+    """4 (data) x 2 (model) mesh: batch over data, points over model."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import Mesh
+
+    return Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model")
+    )
+
+
+def test_sharded_fps_dp_sp_composition(rng, dp_sp_mesh):
+    """batch_axis='data' + axis='model': same result as single-device,
+    with the batch split across the data axis."""
+    xyz = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+    want = np.asarray(farthest_point_sample(xyz, 16, start_idx=0))
+    got = np.asarray(
+        sharded_fps(
+            xyz, 16, dp_sp_mesh, axis="model", start_idx=0,
+            batch_axis="data",
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_ball_query_dp_sp_composition(rng, dp_sp_mesh):
+    xyz = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+    queries = xyz[:, ::8, :]
+    want = np.asarray(query_ball_point(0.9, 8, xyz, queries))
+    got = np.asarray(
+        sharded_ball_query(
+            0.9, 8, xyz, queries, dp_sp_mesh, axis="model",
+            batch_axis="data",
+        )
+    )
+    np.testing.assert_array_equal(got, want)

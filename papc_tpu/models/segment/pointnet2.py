@@ -37,6 +37,10 @@ class PointNet2SSGSeg(nn.Module):
     num_classes: int = 16  # object categories (one-hot injected)
     num_parts: int = 50
     normal_channel: bool = False
+    # reference sizes (segment/pointnet2/pointnet2.py:14-16); override
+    # for tiny-shape CI runs, like the clas twin
+    npoints: tuple = (512, 128)
+    nsamples: tuple = (32, 64)
 
     @nn.compact
     def __call__(
@@ -50,12 +54,12 @@ class PointNet2SSGSeg(nn.Module):
         else:
             l0_xyz = points
         l0_points = points  # reference feeds xyz as the initial features
-        l1_xyz, l1_points = SetAbstraction(512, 0.2, 32, (64, 64, 128))(
-            l0_xyz, l0_points, train
-        )
-        l2_xyz, l2_points = SetAbstraction(128, 0.4, 64, (128, 128, 256))(
-            l1_xyz, l1_points, train
-        )
+        l1_xyz, l1_points = SetAbstraction(
+            self.npoints[0], 0.2, self.nsamples[0], (64, 64, 128)
+        )(l0_xyz, l0_points, train)
+        l2_xyz, l2_points = SetAbstraction(
+            self.npoints[1], 0.4, self.nsamples[1], (128, 128, 256)
+        )(l1_xyz, l1_points, train)
         l3_xyz, l3_points = SetAbstraction(
             None, None, None, (256, 512, 1024), group_all=True
         )(l2_xyz, l2_points, train)

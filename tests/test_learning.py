@@ -164,6 +164,46 @@ def test_kdnet_reaches_90pct(rng):
     assert float(acc) >= 0.9, float(acc)
 
 
+def test_pointnet2_ssg_seg_miou(rng):
+    """PointNet++ SEGMENTATION learns position-determined part labels
+    through the full SA → FP → class-one-hot-at-fp1 chain to mIoU >=
+    0.8 (tiny SA sizes for CPU speed; same code path as the reference
+    ``segment/pointnet2/pointnet2.py``)."""
+    import jax.numpy as jnp
+
+    from papc_tpu.models import init_model
+
+    N, PARTS = 64, 4
+    spec = init_model(
+        "pointnet2_ssg", "seg", NUM_CLASSES, num_parts=PARTS, max_point=N
+    )
+    spec = spec.__class__(
+        model=spec.model.__class__(
+            num_classes=NUM_CLASSES,
+            num_parts=PARTS,
+            npoints=(16, 8),
+            nsamples=(8, 8),
+        ),
+        input_kind=spec.input_kind,
+        mode=spec.mode,
+    )
+    B = 16
+    labels = rng.randint(0, NUM_CLASSES, size=(B,))
+    pts = rng.randn(B, N, 3).astype(np.float32) * 0.3
+    pid = (
+        (pts[..., 0] > 0).astype(np.int32)
+        + 2 * (pts[..., 1] > 0).astype(np.int32)
+    )
+    batch = {
+        "points": jnp.asarray(pts),
+        "label": jnp.asarray(labels),
+        "pid": jnp.asarray(pid),
+        "mask": jnp.ones((B,), bool),
+    }
+    _, miou = _mini_train(spec, batch, steps=150, num_parts=PARTS)
+    assert float(miou) >= 0.8, float(miou)
+
+
 def test_pointnet_basic_seg_miou(rng):
     """Per-point segmentation learns position-determined labels to
     mIoU >= 0.8 (mask-aware mean-IoU metric)."""

@@ -85,7 +85,8 @@ def main():
         for k in KS:
             def run(carry, _k=k, _body=body):
                 def step(c, i):
-                    return _body(c, i), ()
+                    c2, _ = _body(c, i)
+                    return c2, ()
                 c, _ = lax.scan(step, carry, jnp.arange(_k))
                 return c
             out[k] = (jax.jit(run, donate_argnums=(0,)), fresh(init_builder))

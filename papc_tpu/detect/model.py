@@ -32,10 +32,14 @@ class PFNLayer(nn.Module):
     The final layer is the Dense→BN→ReLU→max chain the fused SA-MLP
     block (:mod:`papc_tpu.ops.fused_mlp`) was built for, and at the
     production pillar workload ([2, 12000, 100, 9→64]) the op-by-op
-    program's BatchNorm broadcasts dominate the WHOLE train step's HBM
-    traffic (~20 of 33 GB/step in the compiled HLO) — so on TPU the
-    last layer routes through the fused passes (same params/stats tree,
-    same analytic-BN gradients; intermediate activations bf16)."""
+    program's BatchNorm broadcasts dominate the step's HBM traffic
+    (~20 of 33 GB/step in the compiled HLO). The fused route was
+    measured anyway to LOSE on chip (interleaved scanned-step A/B,
+    r4: fused 41.7 ms vs classic 32.5 ms fp32) — at m = B·V·P ≈ 2.4M
+    rows the pass suite pays ~1200 Mosaic grid steps × ~6 µs × passes,
+    which swamps the HBM saving — so the default is the classic
+    op-by-op branch; ``fused_mlp.override(enable=True)`` re-enables
+    the fused route (same params/stats tree either way) for A/Bs."""
 
     units: int
     last_layer: bool = False
@@ -52,6 +56,9 @@ class PFNLayer(nn.Module):
             self.last_layer
             and self.use_norm
             and not self.is_initializing()
+            # PFN opts IN only under an explicit override: measured
+            # slower than classic at production shape (see class doc)
+            and fused_mlp.override_enabled()
             and fused_mlp.enabled(x.shape, (units,))
         )
         if use_fused:

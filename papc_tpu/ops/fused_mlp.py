@@ -79,6 +79,15 @@ class override:
         _OVERRIDE.update(self._old)
 
 
+def override_enabled() -> bool:
+    """True only when an :class:`override` explicitly forces the fused
+    path on. Call sites where fused was MEASURED slower (the PFN last
+    layer: r4 interleaved A/B, fused 41.7 vs classic 32.5 ms/step fp32)
+    gate on this so the default is classic but A/Bs stay one
+    ``override(enable=True)`` away."""
+    return bool(_OVERRIDE["enable"])
+
+
 def enabled(shape, features) -> bool:
     """The PointMLP dispatch gate (honors :class:`override`).
 

@@ -14,7 +14,12 @@ best-of-3 rounds in ONE process):
   rpn_f32 / rpn_bf16  full RPN fwd (blocks + deconv concat + heads)
   rpnb_f32 / rpnb_bf16 full RPN fwd+bwd
 
-Run: timeout 3000 python experiments/profile_rpn.py
+Run: timeout 3000 python experiments/profile_rpn.py [name-prefix ...]
+
+Optional argv prefixes filter the program set (e.g. `b rpn_` runs the
+blocks and the fwd-only RPN programs; `rpnb_` runs just the heavy
+fwd+bwd ones) so risky compiles can be isolated one per process —
+the relay degrades when a process dies mid-compile (CLAUDE.md).
 """
 
 import json
@@ -135,6 +140,14 @@ def main():
             fb_body,
             lambda _p=p: jax.tree_util.tree_map(jnp.copy, _p),
         )
+
+    prefixes = tuple(sys.argv[1:])
+    if prefixes:
+        PROGS = {
+            n: p for n, p in PROGS.items()
+            if any(n.startswith(pre) for pre in prefixes)
+        }
+        log(f"filtered programs: {sorted(PROGS)}")
 
     compiled = {}
     for name, prog in PROGS.items():

@@ -1,0 +1,130 @@
+"""Tile sweep for the one-hot-MXU scatter-add (gather backward).
+
+profile_ssg put geom_bwd (both SSG gather backwards) at 3.84 ms/step
+against a ~0.7 ms MXU+HBM floor. The kernel grid is
+(B, n_rows/nblk, S/T); deeper T amortizes per-grid-step overhead and
+keeps the MXU contraction long. Sweeps (t, nblk) at the two SSG
+backward shapes, scanned K=(8,32) slope, interleaved best-of in ONE
+process:
+
+  sa1: g [32, 16384, 64]  idx->1024 rows   (SA1 grouped-feature bwd)
+  sa2: g [32, 8192, 128+3] idx->512 rows   (SA2 grouped-feature bwd)
+
+Run: timeout 3000 python experiments/ab_scatter_tile.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LOG = open("experiments/ab_scatter_tile.log", "a", buffering=1)
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    LOG.write(line + "\n")
+
+
+def main():
+    from papc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from papc_tpu.ops.pallas.scatter import scatter_rows_add_pallas
+    from papc_tpu.utils.timing import fetch_forced_time
+
+    log(f"devices: {jax.devices()}")
+    rs = np.random.RandomState(0)
+    KS = (8, 32)
+
+    SHAPES = {
+        "sa1": (32, 16384, 64, 1024),
+        "sa2": (32, 8192, 131, 512),
+    }
+    TILES = [(512, 512), (1024, 512), (2048, 512), (2048, 1024),
+             (4096, 1024)]
+
+    PROGS = {}
+    for sname, (B, S, C, N) in SHAPES.items():
+        g0 = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+        idx = jnp.asarray(rs.randint(0, N, size=(B, S)).astype(np.int32))
+        for (t, nblk) in TILES:
+            if t > S or nblk > N:
+                continue
+
+            def body(c, i, _idx=idx, _N=N, _t=t, _nb=nblk):
+                out = scatter_rows_add_pallas(c, _idx, _N, t=_t, nblk=_nb)
+                # fold the output back into the carry so nothing folds
+                return c + 1e-12 * out[:, : c.shape[1] % _N + 1, :].sum()
+
+            name = f"{sname}_t{t}_n{nblk}"
+            progs = {}
+            for k in KS:
+                def run(carry, _k=k, _body=body):
+                    def step(c, i):
+                        return _body(c, i), ()
+                    c, _ = lax.scan(step, carry, jnp.arange(_k))
+                    return c
+                progs[k] = (
+                    jax.jit(run, donate_argnums=(0,)),
+                    lambda _g=g0: jnp.copy(_g),
+                )
+            PROGS[name] = progs
+
+    compiled = {}
+    for name, prog in PROGS.items():
+        for k in KS:
+            log(f"compile {name} K={k} ...")
+            t0 = time.perf_counter()
+            fn, init = prog[k]
+            c = fn(init())
+            np.asarray(c[0, 0, 0])
+            compiled[(name, k)] = (fn, init)
+            log(f"  compiled+ran in {time.perf_counter()-t0:.1f}s")
+
+    def window(name, k):
+        fn, init = compiled[(name, k)]
+        h = {"c": init()}
+
+        def call():
+            h["c"] = fn(h["c"])
+            return h["c"][0, 0, 0]
+
+        return fetch_forced_time(
+            call, k_small=2, k_large=5, repeats=3
+        ).step_s
+
+    best = {key: float("inf") for key in compiled}
+    for r in range(3):
+        for name in PROGS:
+            for k in KS:
+                t = window(name, k)
+                best[(name, k)] = min(best[(name, k)], t)
+                log(f"round {r} {name} K={k}: {t*1e3:.2f} ms")
+
+    out = {}
+    for name in PROGS:
+        t8, t32 = best[(name, KS[0])], best[(name, KS[1])]
+        slope = (t32 - t8) / (KS[1] - KS[0])
+        bound = t32 / KS[1]
+        step_ms = (slope if slope > 0 else bound) * 1e3
+        out[name] = {
+            "step_ms": step_ms,
+            "method": "k-slope" if slope > 0 else "window-bound",
+        }
+        log(f"RESULT {name}: {step_ms:.3f} ms/iter")
+    print(json.dumps(out))
+    LOG.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,6 +13,8 @@ best-of-3 rounds in ONE process):
   b3_f32 / b3_bf16    _ConvBlock(256, 5, s2) on [2, 124, 108, 128]
   rpn_f32 / rpn_bf16  full RPN fwd (blocks + deconv concat + heads)
   rpnb_f32 / rpnb_bf16 full RPN fwd+bwd
+  gb1_* / gb2_* / gb3_*  per-block fwd+bwd (wrt params+input)
+  nb1_* — b1 fwd+bwd with use_norm=False (isolates the BN share)
 
 Run: timeout 3000 python experiments/profile_rpn.py [name-prefix ...]
 
@@ -97,6 +99,49 @@ def main():
     add_block("b1", 64, 3, 2, (2, 496, 432, 64))
     add_block("b2", 128, 5, 2, (2, 248, 216, 64))
     add_block("b3", 256, 5, 2, (2, 124, 108, 128))
+
+    def add_block_bwd(name, filters, n_layers, stride, shape,
+                      use_norm=True):
+        mod = _ConvBlock(filters, n_layers, stride, use_norm=use_norm)
+        x32 = jnp.asarray(rs.randn(*shape).astype(np.float32))
+        variables = mod.init(rng, x32, train=False)
+        p32 = variables["params"]
+        bs = variables.get("batch_stats", {})
+        for prec, cast in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            x0 = x32.astype(cast)
+            p0 = jax.tree_util.tree_map(
+                lambda a: a.astype(cast)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, p32
+            )
+
+            def body(carry, i, _mod=mod, _bs=bs, _cast=cast):
+                p, x = carry
+
+                def loss(p, x):
+                    out, _ = _mod.apply(
+                        {"params": p, "batch_stats": _bs}, x,
+                        train=True, mutable=["batch_stats"],
+                    )
+                    return out.astype(jnp.float32).mean()
+
+                gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+                p = jax.tree_util.tree_map(
+                    lambda a, b: a - _cast(1e-9) * b.astype(a.dtype),
+                    p, gp,
+                )
+                return (p, x - _cast(1e-9) * gx)
+
+            PROGS[f"{name}_{prec}"] = scan_prog(
+                body,
+                lambda _p=p0, _x=x0: (
+                    jax.tree_util.tree_map(jnp.copy, _p), jnp.copy(_x)
+                ),
+            )
+
+    add_block_bwd("gb1", 64, 3, 2, (2, 496, 432, 64))
+    add_block_bwd("gb2", 128, 5, 2, (2, 248, 216, 64))
+    add_block_bwd("gb3", 256, 5, 2, (2, 124, 108, 128))
+    add_block_bwd("nb1", 64, 3, 2, (2, 496, 432, 64), use_norm=False)
 
     rpn = RPN()
     x32 = jnp.asarray(rs.randn(2, 496, 432, 64).astype(np.float32))

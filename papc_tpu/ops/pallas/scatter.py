@@ -83,27 +83,35 @@ def _scatter_kernel(idx_ref, g_ref, out_ref, *, nblk: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "interpret")
+    jax.jit, static_argnames=("n_rows", "interpret", "t", "nblk")
 )
 def scatter_rows_add_pallas(
     g: jax.Array,
     idx: jax.Array,
     n_rows: int,
     interpret: bool = False,
+    t: int | None = None,
+    nblk: int | None = None,
 ) -> jax.Array:
     """``g [B, S, C]`` scattered-added by ``idx [B, S]`` → ``[B, n_rows, C]``.
 
     Index values outside ``[0, n_rows)`` (use -1 for padding) contribute
     nothing. Output dtype is f32 (gradient accumulator), cast by the
-    caller if needed.
+    caller if needed. ``t`` (index-tile depth, the MXU contraction dim)
+    and ``nblk`` (output row-block height) override the defaults — the
+    defaults were tuned on chip at the SSG backward shapes
+    (``experiments/ab_scatter_tile.py``).
     """
     B, S, C = g.shape
     # index-tile width (MXU contraction dim): deep tiles amortize the
     # per-program overhead and keep the MXU pipeline full
-    T = min(512, ((S + 127) // 128) * 128)
+    T = t if t is not None else min(512, ((S + 127) // 128) * 128)
+    T = min(T, ((S + 127) // 128) * 128)
     cpad = (-C) % 128
     spad = (-S) % T
-    nblk = min(512, ((n_rows + 127) // 128) * 128)
+    if nblk is None:
+        nblk = min(512, ((n_rows + 127) // 128) * 128)
+    nblk = min(nblk, ((n_rows + 127) // 128) * 128)
     npad = (-n_rows) % nblk
     if cpad or spad:
         g = jnp.pad(g, ((0, 0), (0, spad), (0, cpad)))

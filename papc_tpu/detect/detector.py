@@ -116,14 +116,20 @@ class LossConfig:
     code_weights: tuple = (1.0,) * 7
 
 
-def compute_loss(
+def compute_loss_bac(
     preds: dict,
     labels: jax.Array,  # [B, A]
     reg_targets: jax.Array,  # [B, A, code]
     anchors: jax.Array,  # [B, A, 7]
     cfg: LossConfig,
 ):
-    """Assemble the total detection loss from RPN head maps.
+    """Reference-layout loss assembly over ``[B, A, C]`` tensors.
+
+    This is the direct transcription of the reference's ``create_loss``
+    (``detectors/pointpillars.py:508-549``) and serves as the layout
+    ORACLE for :func:`compute_loss` (the production path, which runs the
+    same math in the TPU-friendly ``[B, C, A]`` layout). Keep byte-level
+    semantics in sync; ``tests/test_detect_model.py`` asserts parity.
 
     Returns (total_loss, metrics_dict)."""
     B = labels.shape[0]
@@ -184,6 +190,137 @@ def compute_loss(
             dir_logits, dir_targets, weights
         )
         dir_loss = dir_loss.sum() / B
+        loss = loss + dir_loss * cfg.direction_loss_weight
+        metrics["dir_loss"] = dir_loss
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def _heads_to_ca(head: jax.Array, B: int, c: int) -> jax.Array:
+    """``[B, H, W, na·c]`` head map (or pre-flattened ``[B, A, c]``) →
+    ``[B, c, A]`` with anchor order (h, w, a) — matching
+    ``compute_loss_bac``'s ``reshape(B, -1, c)``."""
+    if head.ndim == 4:
+        Bh, H, W, nac = head.shape
+        x = head.reshape(B, H * W, nac // c, c)
+    else:
+        x = head.reshape(B, -1, 1, c)
+    # [B, HW, na, c] → [B, c, HW, na] → [B, c, A]
+    x = x.transpose(0, 3, 1, 2)
+    return x.reshape(B, c, -1)
+
+
+def compute_loss(
+    preds: dict,
+    labels: jax.Array,  # [B, A]
+    reg_targets: jax.Array,  # [B, A, code]
+    anchors: jax.Array,  # [B, A, 7]
+    cfg: LossConfig,
+):
+    """Assemble the total detection loss from RPN head maps.
+
+    Same math as :func:`compute_loss_bac` (the reference-layout oracle,
+    ``detectors/pointpillars.py:508-549``) but computed in the
+    channel-sublane layout ``[B, C, A]``: the small channel dims
+    (code=7, ncls, 2) ride the 8-wide sublane axis while the anchor dim
+    rides the 128-wide lane axis. In ``[B, A, C]`` form every loss
+    tensor is lane-padded C→128 (18× HBM traffic for code=7, 128× for
+    ncls=1), which made the loss ~2.5 ms of the r4 32.6 ms PointPillars
+    step; results differ from the oracle only by reduction order.
+
+    Returns (total_loss, metrics_dict)."""
+    B, A = labels.shape
+    code = cfg.box_code_size
+    ncls = (
+        cfg.num_class
+        if cfg.encode_background_as_zeros
+        else cfg.num_class + 1
+    )
+    box_preds = _heads_to_ca(preds["box_preds"], B, code)  # [B, code, A]
+    cls_preds = _heads_to_ca(preds["cls_preds"], B, ncls)  # [B, ncls, A]
+    rt = reg_targets.transpose(0, 2, 1)  # [B, code, A]
+
+    cls_weights, reg_weights, cared = prepare_loss_weights(
+        labels,
+        cfg.pos_cls_weight,
+        cfg.neg_cls_weight,
+        cfg.loss_norm_type,
+    )
+    cls_targets = labels * cared.astype(labels.dtype)
+    # one-hot with background dropped (encode_background_as_zeros) is
+    # (cls_targets == c) over the sublane class axis
+    first_cls = 1 if cfg.encode_background_as_zeros else 0
+    cls_ids = jnp.arange(first_cls, first_cls + ncls)[None, :, None]
+    one_hot = (cls_targets[:, None, :] == cls_ids).astype(
+        box_preds.dtype
+    )  # [B, ncls, A]
+
+    bp = box_preds
+    if cfg.encode_rad_error_by_sin:
+        rad_pred = jnp.sin(bp[:, -1:, :]) * jnp.cos(rt[:, -1:, :])
+        rad_tg = jnp.cos(bp[:, -1:, :]) * jnp.sin(rt[:, -1:, :])
+        bp = jnp.concatenate([bp[:, :-1, :], rad_pred], axis=1)
+        rt = jnp.concatenate([rt[:, :-1, :], rad_tg], axis=1)
+
+    # smooth-L1 over the sublane code axis
+    diff = jnp.asarray(list(cfg.code_weights))[None, :, None] * (bp - rt)
+    abs_diff = jnp.abs(diff)
+    cut = 1.0 / (cfg.smooth_l1_sigma**2)
+    lt = (abs_diff <= cut).astype(diff.dtype)
+    loc_loss = (
+        lt * 0.5 * jnp.square(abs_diff * cfg.smooth_l1_sigma)
+        + (abs_diff - 0.5 * cut) * (1.0 - lt)
+    ) * reg_weights[:, None, :]
+
+    # sigmoid focal over the sublane class axis
+    ce = L.sigmoid_cross_entropy_with_logits(cls_preds, one_hot)
+    prob = jax.nn.sigmoid(cls_preds)
+    p_t = one_hot * prob + (1 - one_hot) * (1 - prob)
+    modulating = (
+        jnp.power(1.0 - p_t, cfg.focal_gamma) if cfg.focal_gamma else 1.0
+    )
+    if cfg.focal_alpha is not None:
+        alpha_w = one_hot * cfg.focal_alpha + (1 - one_hot) * (
+            1 - cfg.focal_alpha
+        )
+    else:
+        alpha_w = 1.0
+    cls_loss = modulating * alpha_w * ce * cls_weights[:, None, :]
+
+    loc_loss_reduced = loc_loss.sum() / B * cfg.loc_loss_weight
+    cls_loss_reduced = cls_loss.sum() / B * cfg.cls_loss_weight
+    loss = loc_loss_reduced + cls_loss_reduced
+
+    # pos/neg split (get_pos_neg_loss semantics in [B, C, A] layout)
+    if ncls == 1:
+        flat = cls_loss[:, 0, :]
+        cls_pos = ((labels > 0) * flat).sum() / B
+        cls_neg = ((labels == 0) * flat).sum() / B
+    else:
+        cls_pos = cls_loss[:, 1:, :].sum() / B
+        cls_neg = cls_loss[:, 0, :].sum() / B
+    metrics = {
+        "loc_loss": loc_loss_reduced,
+        "cls_loss": cls_loss_reduced,
+        "cls_pos_loss": cls_pos / cfg.pos_cls_weight,
+        "cls_neg_loss": cls_neg / cfg.neg_cls_weight,
+        "num_pos": (labels > 0).sum(),
+        "num_neg": (labels == 0).sum(),
+    }
+
+    if cfg.use_direction_classifier and "dir_cls_preds" in preds:
+        dir_logits = _heads_to_ca(preds["dir_cls_preds"], B, 2)
+        rot_gt = reg_targets[..., -1] + anchors[..., -1]  # [B, A]
+        t = (rot_gt > 0).astype(jnp.int32)
+        dir_targets = (
+            jnp.arange(2)[None, :, None] == t[:, None, :]
+        ).astype(dir_logits.dtype)  # [B, 2, A]
+        weights = (labels > 0).astype(dir_logits.dtype)
+        weights = weights / jnp.clip(
+            weights.sum(-1, keepdims=True), 1.0, None
+        )
+        logp = jax.nn.log_softmax(dir_logits, axis=1)
+        dir_loss = (-(dir_targets * logp).sum(axis=1) * weights).sum() / B
         loss = loss + dir_loss * cfg.direction_loss_weight
         metrics["dir_loss"] = dir_loss
     metrics["loss"] = loss

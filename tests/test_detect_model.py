@@ -94,6 +94,92 @@ def test_direction_target():
     np.testing.assert_array_equal(np.asarray(t), [[1, 0, 0]])
 
 
+@pytest.mark.parametrize("ncls", [1, 3])
+@pytest.mark.parametrize(
+    "norm", ["NormByNumExamples", "NormByNumPositives", "NormByNumPosNeg"]
+)
+@pytest.mark.parametrize("use_dir", [True, False])
+def test_loss_ca_layout_matches_bac_oracle(ncls, norm, use_dir):
+    """compute_loss ([B, C, A] sublane layout) vs compute_loss_bac
+    (reference [B, A, C] layout oracle): same math, reduction order
+    only."""
+    from papc_tpu.detect.detector import compute_loss_bac
+
+    rng = np.random.RandomState(7 + ncls)
+    H, W, na = 6, 5, 2
+    A = H * W * na
+    preds = {
+        "box_preds": jnp.asarray(
+            rng.randn(B, H, W, na * 7).astype(np.float32)
+        ),
+        "cls_preds": jnp.asarray(
+            rng.randn(B, H, W, na * ncls).astype(np.float32)
+        ),
+    }
+    if use_dir:
+        preds["dir_cls_preds"] = jnp.asarray(
+            rng.randn(B, H, W, na * 2).astype(np.float32)
+        )
+    labels = jnp.asarray(rng.randint(-1, ncls + 1, size=(B, A)))
+    reg_targets = jnp.asarray(
+        (rng.randn(B, A, 7) * 0.3).astype(np.float32)
+    )
+    anchors = jnp.asarray(rng.randn(B, A, 7).astype(np.float32))
+    cfg = LossConfig(
+        num_class=ncls,
+        loss_norm_type=norm,
+        use_direction_classifier=use_dir,
+        pos_cls_weight=1.5,
+        neg_cls_weight=0.8,
+        code_weights=tuple(float(w) for w in 0.5 + rng.rand(7)),
+    )
+    l_new, m_new = jax.jit(
+        lambda: compute_loss(preds, labels, reg_targets, anchors, cfg)
+    )()
+    l_old, m_old = jax.jit(
+        lambda: compute_loss_bac(preds, labels, reg_targets, anchors, cfg)
+    )()
+    np.testing.assert_allclose(
+        float(l_new), float(l_old), rtol=1e-5, atol=1e-6
+    )
+    assert set(m_new) == set(m_old)
+    for k in m_old:
+        np.testing.assert_allclose(
+            np.asarray(m_new[k], np.float64),
+            np.asarray(m_old[k], np.float64),
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_loss_ca_layout_accepts_flat_preds():
+    """compute_loss also accepts pre-flattened [B, A, C] head tensors
+    (the form experiments and external callers may pass)."""
+    from papc_tpu.detect.detector import compute_loss_bac
+
+    rng = np.random.RandomState(3)
+    A = 40
+    preds = {
+        "box_preds": jnp.asarray(rng.randn(B, A, 7).astype(np.float32)),
+        "cls_preds": jnp.asarray(rng.randn(B, A, 1).astype(np.float32)),
+        "dir_cls_preds": jnp.asarray(
+            rng.randn(B, A, 2).astype(np.float32)
+        ),
+    }
+    labels = jnp.asarray(rng.randint(-1, 2, size=(B, A)))
+    reg_targets = jnp.asarray(
+        (rng.randn(B, A, 7) * 0.3).astype(np.float32)
+    )
+    anchors = jnp.asarray(rng.randn(B, A, 7).astype(np.float32))
+    cfg = LossConfig()
+    l_new, _ = compute_loss(preds, labels, reg_targets, anchors, cfg)
+    l_old, _ = compute_loss_bac(preds, labels, reg_targets, anchors, cfg)
+    np.testing.assert_allclose(
+        float(l_new), float(l_old), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_loss_runs_and_grads(net_and_vars):
     model, variables, inputs = net_and_vars
     rng = np.random.RandomState(1)

@@ -270,10 +270,30 @@ def _pointpillars_fixture():
             rs.randn(Bd, A, 7) * 0.1, jnp.float32
         ),
     }
+    if model.pfn_flat:
+        # flat real-point view (the loader's production output for
+        # PFN_FLAT; cap matches MAX_POINTS_PER_FRAME)
+        from papc_tpu.detect.pfn_fast import flatten_pillars
+
+        pts, owner = flatten_pillars(
+            np.asarray(batch["voxels"]),
+            np.asarray(batch["num_points"]),
+            np.asarray(batch["coordinates"]),
+            25600,
+        )
+        batch["points_flat"] = jnp.asarray(pts)
+        batch["point_pillar"] = jnp.asarray(owner)
+        # "voxels" stays in the fixture for classic-path experiments;
+        # the flat train step never reads it (XLA prunes the input)
     rng = jax.random.PRNGKey(0)
     variables = model.init(
-        rng, batch["voxels"], batch["num_points"],
-        batch["coordinates"], train=False,
+        rng,
+        batch.get("voxels"),
+        batch["num_points"],
+        batch["coordinates"],
+        train=False,
+        points=batch.get("points_flat"),
+        point_pillar=batch.get("point_pillar"),
     )
     tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
     state = TrainState.create(

@@ -178,6 +178,9 @@ def build_network(cfg, voxel_generator, target_assigner) -> PointPillars:
         use_groupnorm=bool(bb.get("use_groupnorm", False)),
         num_groups=int(bb.get("num_groups", 32)),
         box_code_size=target_assigner.box_coder.code_size,
+        scatter_s2d=bool(model_cfg.get("SCATTER_S2D", True)),
+        pfn_flat=bool(model_cfg.get("PFN_FLAT", True)),
+        max_points_per_pillar=int(voxel_generator.max_num_points),
     )
 
 
@@ -367,6 +370,8 @@ def build_prep_func(
         max_points_per_frame=int(
             r.get("MAX_POINTS_PER_FRAME", 25000)
         ),
+        emit_flat_points=bool(cfg.MODEL.get("PFN_FLAT", True))
+        and not bool(cfg.MODEL.get("DEVICE_PILLARIZE", False)),
         rng=rng,
     )
 

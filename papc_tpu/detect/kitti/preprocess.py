@@ -71,6 +71,7 @@ def prep_pointcloud(
     rng: np.random.RandomState | None = None,
     device_voxelize: bool = False,
     max_points_per_frame: int = 25000,
+    emit_flat_points: bool = False,
 ):
     """One sample: augment → voxelize (static shape) → anchors → targets.
 
@@ -252,6 +253,22 @@ def prep_pointcloud(
             "Trv2c": Trv2c,
             "P2": P2,
         }
+        if emit_flat_points:
+            # flat real-point view for the flat PFN (PillarFeatureNetFlat):
+            # ~20k points instead of the 1.2M-slot [V, P, D] grid — the
+            # padded grid is dropped from the example (10x less h2d)
+            slot = np.arange(voxels.shape[1])[None, :]
+            v_idx, p_idx = np.nonzero(slot < num_points[:, None])
+            n = min(len(v_idx), max_points_per_frame)
+            pf = np.zeros(
+                (max_points_per_frame, voxels.shape[2]), voxels.dtype
+            )
+            po = np.full((max_points_per_frame,), -1, np.int32)
+            pf[:n] = voxels[v_idx[:n], p_idx[:n]]
+            po[:n] = v_idx[:n]
+            example["points_flat"] = pf
+            example["point_pillar"] = po
+            del example["voxels"]
     example["image_idx"] = np.array(
         input_dict.get("image_idx", 0), dtype=np.int64
     )

@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from papc_tpu.ops.voxelize import scatter_to_bev_batched
+from papc_tpu.ops.voxelize import (
+    scatter_to_bev_batched,
+    scatter_to_bev_s2d,
+)
 
 PFN_BN = dict(momentum=0.01, epsilon=1e-3)
 
@@ -156,6 +159,79 @@ class PillarFeatureNet(nn.Module):
         return features[:, :, 0, :]  # [B, V, C]
 
 
+class PillarFeatureNetFlat(nn.Module):
+    """Flat-points twin of :class:`PillarFeatureNet` (single PFN layer).
+
+    Computes the PFN on the ~N real points (``points [B, N, D]`` +
+    ``point_pillar [B, N]`` ownership) instead of the ``[B, V, P, D]``
+    padded slot grid — at the KITTI workload that is ~20k points vs
+    1.2M slots. Exact classic semantics (BN population, padded-slot max
+    floor) live in :func:`papc_tpu.detect.pfn_fast.pfn_forward_flat`;
+    this module only owns the param/stats tree, which is IDENTICAL to
+    the classic module's (``PFNLayer_0/Dense_0`` + ``BatchNorm_0``
+    twins), so checkpoints swap freely between the two."""
+
+    num_filters: Sequence[int] = (64,)
+    voxel_size: Sequence[float] = (0.2, 0.2, 4.0)
+    pc_range: Sequence[float] = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    with_distance: bool = False
+    use_norm: bool = True
+    max_points_per_pillar: int = 100
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jax.Array,  # [B, N, D] flat real points, zero-pad rows
+        point_pillar: jax.Array,  # [B, N] pillar row; -1 padding
+        num_points: jax.Array,  # [B, V]
+        coords: jax.Array,  # [B, V, 3]
+        train: bool = True,
+    ) -> jax.Array:
+        from papc_tpu.detect.pfn_fast import pfn_forward_flat
+        from papc_tpu.nn.layers import _BNParams, _DenseParams
+
+        if len(self.num_filters) != 1 or not self.use_norm:
+            raise NotImplementedError(
+                "flat PFN covers the production single-layer/BN config; "
+                "use the classic PillarFeatureNet otherwise"
+            )
+        c_in = points.shape[-1] + 5 + (1 if self.with_distance else 0)
+        units = self.num_filters[0]
+
+        class _Layer(nn.Module):
+            @nn.compact
+            def __call__(self):
+                kernel, _ = _DenseParams(
+                    units, c_in, use_bias=False, name="Dense_0"
+                )()
+                scale, bias, rm, rv = _BNParams(
+                    units, name="BatchNorm_0"
+                )()
+                return kernel, scale, bias, rm, rv
+
+        kernel, scale, bias, rm, rv = _Layer(name="PFNLayer_0")()
+        out, new_running = pfn_forward_flat(
+            kernel,
+            scale,
+            bias,
+            (rm.value, rv.value),
+            points,
+            point_pillar,
+            num_points,
+            coords,
+            self.max_points_per_pillar,
+            voxel_size=tuple(self.voxel_size),
+            pc_range=tuple(self.pc_range),
+            with_distance=self.with_distance,
+            train=train,
+            momentum=PFN_BN["momentum"],
+            eps=PFN_BN["epsilon"],
+        )
+        if train and not self.is_initializing():
+            rm.value, rv.value = new_running
+        return out
+
+
 class PointPillarsScatter(nn.Module):
     """Scatter pillar features to the dense BEV canvas → [B, ny, nx, C]
     (reference ``pillars.py:110-142``; here ONE flat indexed-set over
@@ -164,16 +240,28 @@ class PointPillarsScatter(nn.Module):
 
     ny: int
     nx: int
+    s2d: bool = False  # emit the space-to-depth canvas (see ops.s2d)
 
     @nn.compact
     def __call__(self, voxel_features, coords):
+        if self.s2d:
+            return scatter_to_bev_s2d(
+                voxel_features, coords, self.ny, self.nx
+            )
         return scatter_to_bev_batched(
             voxel_features, coords, self.ny, self.nx
         )
 
 
 class _ConvBlock(nn.Module):
-    """Stride conv + n same-padding convs, each Conv(no bias)→BN→ReLU."""
+    """Stride conv + n same-padding convs, each Conv(no bias)→BN→ReLU.
+
+    ``s2d_input=True`` takes the space-to-depth BEV canvas
+    ``[B, H/2+1, W/2+1, 4C]`` instead of ``[B, H, W, C]`` and runs the
+    opening stride-2 3x3 conv as its stride-1 2x2 VALID twin
+    (:mod:`papc_tpu.ops.s2d` — the strided backward is a measured 1.7x
+    pathology on TPU). The param tree keeps the reference-shaped
+    ``[3, 3, C, O]`` kernel either way."""
 
     filters: int
     n_layers: int
@@ -181,6 +269,7 @@ class _ConvBlock(nn.Module):
     use_norm: bool = True
     use_groupnorm: bool = False
     num_groups: int = 32
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -196,15 +285,34 @@ class _ConvBlock(nn.Module):
                 )(h)
             return h
 
-        x = nn.Conv(
-            self.filters, (3, 3), strides=self.stride,
-            padding=((1, 1), (1, 1)), use_bias=not self.use_norm,
-        )(x)
+        if self.s2d_input:
+            if self.stride != 2:
+                raise ValueError("s2d_input requires stride 2")
+            from papc_tpu.nn.layers import _Conv2dParams
+            from papc_tpu.ops.s2d import expand_stride2_kernel
+
+            kernel, cbias = _Conv2dParams(
+                self.filters, x.shape[-1] // 4,
+                use_bias=not self.use_norm, name="Conv_0",
+            )()
+            x = jax.lax.conv_general_dilated(
+                x, expand_stride2_kernel(kernel.astype(x.dtype)),
+                (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if cbias is not None:
+                x = x + cbias.astype(x.dtype)
+        else:
+            x = nn.Conv(
+                self.filters, (3, 3), strides=self.stride,
+                padding=((1, 1), (1, 1)), use_bias=not self.use_norm,
+                name="Conv_0",
+            )(x)
         x = nn.relu(bn(x))
-        for _ in range(self.n_layers):
+        for i in range(self.n_layers):
             x = nn.Conv(
                 self.filters, (3, 3), padding="SAME",
-                use_bias=not self.use_norm,
+                use_bias=not self.use_norm, name=f"Conv_{i + 1}",
             )(x)
             x = nn.relu(bn(x))
         return x
@@ -229,6 +337,7 @@ class RPN(nn.Module):
     num_groups: int = 32
     use_bev: bool = False
     box_code_size: int = 7
+    s2d_input: bool = False  # x is the s2d canvas [B, ny/2+1, nx/2+1, 4C]
 
     @nn.compact
     def __call__(self, x, bev=None, train: bool = True):
@@ -253,6 +362,7 @@ class RPN(nn.Module):
                 self.use_norm,
                 self.use_groupnorm,
                 self.num_groups,
+                s2d_input=self.s2d_input and i == 0,
             )(x, train)
             if i == 0 and self.use_bev and bev is not None:
                 b = bev
@@ -316,20 +426,53 @@ class PointPillars(nn.Module):
     use_groupnorm: bool = False
     num_groups: int = 32
     box_code_size: int = 7
+    # scatter straight into the space-to-depth canvas so the RPN's
+    # opening stride-2 conv runs as its stride-1 2x2 twin (ops.s2d);
+    # requires even ny/nx and layer_strides[0] == 2
+    scatter_s2d: bool = False
+    # run the PFN on flat real points when the batch carries them
+    # (``points``/``point_pillar`` kwargs) — see PillarFeatureNetFlat
+    pfn_flat: bool = False
+    max_points_per_pillar: int = 100
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, train: bool = True):
-        voxel_features = PillarFeatureNet(
-            num_filters=self.pfn_num_filters,
-            voxel_size=self.voxel_size,
-            pc_range=self.pc_range,
-            with_distance=self.with_distance,
-            use_norm=self.use_norm,
-            name="pfn",
-        )(voxels, num_points, coords, train)
-        spatial = PointPillarsScatter(self.ny, self.nx, name="scatter")(
-            voxel_features, coords
+    def __call__(
+        self,
+        voxels,
+        num_points,
+        coords,
+        train: bool = True,
+        points=None,
+        point_pillar=None,
+    ):
+        if self.pfn_flat and points is not None:
+            voxel_features = PillarFeatureNetFlat(
+                num_filters=self.pfn_num_filters,
+                voxel_size=self.voxel_size,
+                pc_range=self.pc_range,
+                with_distance=self.with_distance,
+                use_norm=self.use_norm,
+                max_points_per_pillar=self.max_points_per_pillar,
+                name="pfn",
+            )(points, point_pillar, num_points, coords, train)
+        else:
+            voxel_features = PillarFeatureNet(
+                num_filters=self.pfn_num_filters,
+                voxel_size=self.voxel_size,
+                pc_range=self.pc_range,
+                with_distance=self.with_distance,
+                use_norm=self.use_norm,
+                name="pfn",
+            )(voxels, num_points, coords, train)
+        use_s2d = (
+            self.scatter_s2d
+            and self.ny % 2 == 0
+            and self.nx % 2 == 0
+            and self.rpn_layer_strides[0] == 2
         )
+        spatial = PointPillarsScatter(
+            self.ny, self.nx, s2d=use_s2d, name="scatter"
+        )(voxel_features, coords)
         return RPN(
             num_class=self.num_class,
             layer_nums=self.rpn_layer_nums,
@@ -344,5 +487,6 @@ class PointPillars(nn.Module):
             use_groupnorm=self.use_groupnorm,
             num_groups=self.num_groups,
             box_code_size=self.box_code_size,
+            s2d_input=use_s2d,
             name="rpn",
         )(spatial, train=train)

@@ -58,11 +58,19 @@ def example_to_device_batch(example: dict) -> dict:
         }
     else:
         batch = {
-            "voxels": example["voxels"].astype(np.float32),
             "num_points": example["num_points"].astype(np.int32),
             "coordinates": example["coordinates"].astype(np.int32),
             "anchors": example["anchors"].astype(np.float32),
         }
+        if "points_flat" in example:  # flat-PFN path (no padded grid)
+            batch["points_flat"] = example["points_flat"].astype(
+                np.float32
+            )
+            batch["point_pillar"] = example["point_pillar"].astype(
+                np.int32
+            )
+        else:
+            batch["voxels"] = example["voxels"].astype(np.float32)
     if "labels" in example:
         batch["labels"] = example["labels"].astype(np.int32)
         batch["reg_targets"] = example["reg_targets"].astype(np.float32)
@@ -115,11 +123,13 @@ def make_detection_train_step(
     import jax.numpy as jnp
 
     def loss_fn(params, batch_stats, batch):
+        points = batch.get("points_flat")
+        point_pillar = batch.get("point_pillar")
         if pillarize is not None:
             voxels, num_points, coords = pillarize(batch)
         else:
             voxels, num_points, coords = (
-                batch["voxels"], batch["num_points"],
+                batch.get("voxels"), batch["num_points"],
                 batch["coordinates"],
             )
         if bf16:
@@ -127,13 +137,18 @@ def make_detection_train_step(
             # (focal CE + smooth-L1 on decoded offsets) runs fp32 on
             # fp32-cast head outputs — cheap next to the RPN convs
             params = cast_floating(params, jnp.bfloat16)
-            voxels = voxels.astype(jnp.bfloat16)
+            if voxels is not None:
+                voxels = voxels.astype(jnp.bfloat16)
+            if points is not None:
+                points = points.astype(jnp.bfloat16)
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             voxels,
             num_points,
             coords,
             train=True,
+            points=points,
+            point_pillar=point_pillar,
             mutable=["batch_stats"],
         )
         if bf16:
@@ -167,10 +182,18 @@ def make_detection_train_step(
             if loss_cfg.encode_background_as_zeros
             else loss_cfg.num_class + 1
         )
-        cls_preds = preds["cls_preds"].reshape(B, -1, ncls)
+        # channel-sublane [B, ncls, A] layout — the [B, A, ncls] form
+        # lane-pads ncls to 128 and cost 2.5 ms/step (ab_step_s2d r4)
+        from papc_tpu.detect.detector import _heads_to_ca
+
+        cls_preds = _heads_to_ca(preds["cls_preds"], B, ncls)
         rm = {
-            "acc": rm["acc"].update(batch["labels"], cls_preds),
-            "pr": rm["pr"].update(batch["labels"], cls_preds),
+            "acc": rm["acc"].update(
+                batch["labels"], cls_preds, channel_axis=1
+            ),
+            "pr": rm["pr"].update(
+                batch["labels"], cls_preds, channel_axis=1
+            ),
         }
         metrics["rpn_acc"] = rm["acc"].value
         return state, metrics, rm
@@ -235,7 +258,7 @@ def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
             voxels, num_points, coords = pillarize(batch)
         else:
             voxels, num_points, coords = (
-                batch["voxels"], batch["num_points"],
+                batch.get("voxels"), batch["num_points"],
                 batch["coordinates"],
             )
         return model.apply(
@@ -244,6 +267,8 @@ def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
             num_points,
             coords,
             train=False,
+            points=batch.get("points_flat"),
+            point_pillar=batch.get("point_pillar"),
         )
 
     if predict_cfg.multiclass_nms:
@@ -443,11 +468,15 @@ def train(
     v0, n0, c0 = (
         pillarize(batch0)
         if pillarize is not None
-        else (batch0["voxels"], batch0["num_points"],
+        else (batch0.get("voxels"), batch0["num_points"],
               batch0["coordinates"])
     )
     rng = jax.random.PRNGKey(seed)
-    variables = model.init(rng, v0, n0, c0, train=False)
+    variables = model.init(
+        rng, v0, n0, c0, train=False,
+        points=batch0.get("points_flat"),
+        point_pillar=batch0.get("point_pillar"),
+    )
     tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
     state = TrainState.create(
         apply_fn=model.apply,
@@ -756,11 +785,15 @@ def evaluate_checkpoint(
     v0, n0, c0 = (
         pillarize(batch0)
         if pillarize is not None
-        else (batch0["voxels"], batch0["num_points"],
+        else (batch0.get("voxels"), batch0["num_points"],
               batch0["coordinates"])
     )
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, v0, n0, c0, train=False)
+    variables = model.init(
+        rng, v0, n0, c0, train=False,
+        points=batch0.get("points_flat"),
+        point_pillar=batch0.get("point_pillar"),
+    )
     tx = builders.build_optimizer(cfg.TRAIN_CONFIG.OPTIMIZER)
     state = TrainState.create(
         apply_fn=model.apply,

@@ -82,6 +82,33 @@ class _BNParams(nn.Module):
         return scale, bias, ra_mean, ra_var
 
 
+class _Conv2dParams(nn.Module):
+    """Parameter-only twin of ``nn.Conv`` (same names, shapes, inits) so
+    the RPN's space-to-depth branch can keep the reference-shaped
+    ``[3, 3, C, O]`` kernel in the param tree while running the expanded
+    stride-1 twin (``ops.s2d.expand_stride2_kernel``)."""
+
+    features: int
+    in_features: int
+    kernel_size: tuple = (3, 3)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,)
+            )
+        else:
+            bias = None
+        return kernel, bias
+
+
 class PointMLP(nn.Module):
     """Dense→BN→ReLU stack applied along the last (channel) axis.
 

@@ -158,3 +158,42 @@ def scatter_to_bev_batched(
         jnp.where(valid[..., None], features, 0.0).reshape(B * V, C)
     )
     return canvas[: B * cells].reshape(B, ny, nx, C)
+
+
+def scatter_to_bev_s2d(
+    features: jax.Array,  # [B, V, C] per-voxel features
+    coords: jax.Array,  # [B, V, 3] (z, y, x); invalid rows < 0
+    ny: int,
+    nx: int,
+) -> jax.Array:
+    """Batched BEV scatter directly into the space-to-depth canvas →
+    ``[B, ny//2+1, nx//2+1, 4C]`` (ny, nx even).
+
+    Identical to ``space_to_depth_bev(scatter_to_bev_batched(...))``
+    (asserted in tests) but without ever materializing the classic
+    canvas: cell (y, x) lands in patch ((y+1)//2, (x+1)//2) at the
+    2x2-phase channel block ((y+1)%2, (x+1)%2), and the phase is folded
+    into the flat row index alongside the batch — still ONE flat
+    indexed-set (see :func:`scatter_to_bev_batched` for why not vmap).
+    The downstream stride-2 3x3 conv then runs as a stride-1 2x2 VALID
+    conv (``ops.s2d``), dodging the strided-backward pathology."""
+    B, V, C = features.shape
+    if ny % 2 or nx % 2:
+        raise ValueError(f"ny, nx must be even, got {(ny, nx)}")
+    py, px = ny // 2 + 1, nx // 2 + 1
+    valid = coords[:, :, 0] >= 0
+    yp = coords[:, :, 1] + 1
+    xp = coords[:, :, 2] + 1
+    phase = (yp % 2) * 2 + (xp % 2)
+    cells = py * px * 4
+    base = jnp.arange(B, dtype=jnp.int32)[:, None] * cells
+    rows = jnp.where(
+        valid,
+        base + ((yp // 2) * px + xp // 2) * 4 + phase,
+        B * cells,
+    ).reshape(B * V)
+    canvas = jnp.zeros((B * cells + 1, C), features.dtype)
+    canvas = canvas.at[rows].set(
+        jnp.where(valid[..., None], features, 0.0).reshape(B * V, C)
+    )
+    return canvas[: B * cells].reshape(B, py, px, 4 * C)

@@ -32,26 +32,40 @@ class ScalarState(NamedTuple):
 
 
 def _scores_and_labels(
-    preds, labels, use_sigmoid_score=True, encode_background_as_zeros=True
+    preds,
+    labels,
+    use_sigmoid_score=True,
+    encode_background_as_zeros=True,
+    channel_axis=-1,
 ):
-    """preds [..., C] logits → (score, pred_label) with background = 0
-    (reference metrics.py:27-75 semantics)."""
+    """preds logits → (score, pred_label) with background = 0
+    (reference metrics.py:27-75 semantics).
+
+    ``channel_axis=1`` accepts the TPU-friendly ``[B, C, A]`` layout
+    (class dim on sublanes) — in the default ``[B, A, C]`` layout a
+    C∈{1..4} class axis is lane-padded to 128, which made this update
+    2.5 ms of the r4 PointPillars step (measured: step 32.95 vs 30.47 ms
+    without it, ``experiments/ab_step_s2d.py``)."""
+    ax = channel_axis
     if encode_background_as_zeros:
         scores = (
             jax.nn.sigmoid(preds)
             if use_sigmoid_score
-            else jax.nn.softmax(preds, -1)
+            else jax.nn.softmax(preds, ax)
         )
-        score = jnp.max(scores, axis=-1)
-        pred_label = jnp.argmax(preds, axis=-1) + 1
+        score = jnp.max(scores, axis=ax)
+        pred_label = jnp.argmax(preds, axis=ax) + 1
     else:
+        fg = jax.lax.slice_in_dim(preds, 1, preds.shape[ax], axis=ax)
         scores = (
-            jax.nn.sigmoid(preds)[..., 1:]
+            jax.nn.sigmoid(fg)
             if use_sigmoid_score
-            else jax.nn.softmax(preds, -1)[..., 1:]
+            else jax.lax.slice_in_dim(
+                jax.nn.softmax(preds, ax), 1, preds.shape[ax], axis=ax
+            )
         )
-        score = jnp.max(scores, axis=-1)
-        pred_label = jnp.argmax(preds[..., 1:], axis=-1) + 1
+        score = jnp.max(scores, axis=ax)
+        pred_label = jnp.argmax(fg, axis=ax) + 1
     return score, pred_label
 
 
@@ -71,9 +85,11 @@ class AccuracyState(NamedTuple):
         threshold=0.5,
         use_sigmoid_score=True,
         encode_background_as_zeros=True,
+        channel_axis=-1,
     ):
         score, pred_label = _scores_and_labels(
-            preds, labels, use_sigmoid_score, encode_background_as_zeros
+            preds, labels, use_sigmoid_score,
+            encode_background_as_zeros, channel_axis,
         )
         pred_label = jnp.where(score > threshold, pred_label, 0)
         correct = (pred_label == labels).astype(jnp.float32)
@@ -112,9 +128,11 @@ class PrecisionRecallState(NamedTuple):
         weights=None,
         use_sigmoid_score=True,
         encode_background_as_zeros=True,
+        channel_axis=-1,
     ):
         score, _ = _scores_and_labels(
-            preds, labels, use_sigmoid_score, encode_background_as_zeros
+            preds, labels, use_sigmoid_score,
+            encode_background_as_zeros, channel_axis,
         )
         if weights is None:
             w = (labels >= 0).astype(jnp.float32)

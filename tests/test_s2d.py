@@ -1,0 +1,133 @@
+"""Space-to-depth BEV path (ops/s2d.py + scatter_to_bev_s2d + the RPN
+s2d branch): exact parity with the classic stride-2 pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from papc_tpu.ops.s2d import expand_stride2_kernel, space_to_depth_bev
+from papc_tpu.ops.voxelize import (
+    scatter_to_bev_batched,
+    scatter_to_bev_s2d,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _coords(rng, B, V, ny, nx):
+    """Unique in-range (z, y, x) cells per sample, some rows invalid."""
+    coords = np.full((B, V, 3), -1, np.int32)
+    for b in range(B):
+        n = rng.randint(V // 2, V)
+        lin = rng.choice(ny * nx, size=n, replace=False)
+        coords[b, :n, 0] = 0
+        coords[b, :n, 1] = lin // nx
+        coords[b, :n, 2] = lin % nx
+    return coords
+
+
+def test_scatter_s2d_matches_transform_of_classic():
+    rng = np.random.RandomState(0)
+    B, V, C, ny, nx = 2, 64, 8, 12, 10
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    coords = jnp.asarray(_coords(rng, B, V, ny, nx))
+    classic = scatter_to_bev_batched(feats, coords, ny, nx)
+    direct = scatter_to_bev_s2d(feats, coords, ny, nx)
+    via_transform = space_to_depth_bev(classic)
+    assert direct.shape == (B, ny // 2 + 1, nx // 2 + 1, 4 * C)
+    np.testing.assert_array_equal(
+        np.asarray(direct), np.asarray(via_transform)
+    )
+
+
+def test_expanded_kernel_matches_stride2_conv():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, 8, 6) * 0.1).astype(np.float32))
+    dn = ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+    new = jax.lax.conv_general_dilated(
+        space_to_depth_bev(x), expand_stride2_kernel(k), (1, 1), "VALID",
+        dimension_numbers=dn,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pointpillars_s2d_matches_classic():
+    """Full PointPillars forward + grads: scatter_s2d=True reproduces the
+    classic path with the SAME param tree (the s2d branch keeps the
+    reference-shaped [3,3,C,O] kernel)."""
+    from papc_tpu.detect.model import PointPillars
+
+    rng = np.random.RandomState(2)
+    B, V, P, D = 2, 128, 8, 4
+    ny, nx = 16, 24  # divisible by 8 (3 stride-2 levels x up-strides)
+    voxels = rng.randn(B, V, P, D).astype(np.float32)
+    num_points = rng.randint(1, P + 1, size=(B, V)).astype(np.int32)
+    slot = np.arange(P)[None, None, :]
+    voxels *= (slot < num_points[..., None])[..., None]
+    coords = _coords(rng, B, V, ny, nx)
+    args = (
+        jnp.asarray(voxels),
+        jnp.asarray(num_points),
+        jnp.asarray(coords),
+    )
+
+    kw = dict(ny=ny, nx=nx, num_class=1)
+    classic_m = PointPillars(scatter_s2d=False, **kw)
+    s2d_m = PointPillars(scatter_s2d=True, **kw)
+    variables = classic_m.init(KEY, *args, train=False)
+    # identical param/stats trees
+    v2 = s2d_m.init(KEY, *args, train=False)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v2)
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables),
+        jax.tree_util.tree_leaves_with_path(v2),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        assert a.shape == b.shape, jax.tree_util.keystr(pa)
+
+    out_c, _ = classic_m.apply(
+        variables, *args, train=True, mutable=["batch_stats"]
+    )
+    out_s, _ = s2d_m.apply(
+        variables, *args, train=True, mutable=["batch_stats"]
+    )
+    for k in out_c:
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out_c[k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {
+                "params": params,
+                "batch_stats": variables["batch_stats"],
+            },
+            *args,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(jnp.square(v)) for v in out.values())
+
+    g_c = jax.grad(lambda p: loss(classic_m, p))(variables["params"])
+    g_s = jax.grad(lambda p: loss(s2d_m, p))(variables["params"])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_c),
+        jax.tree_util.tree_leaves_with_path(g_s),
+    ):
+        # fp32 reassociation through 11 conv layers + BN normalization
+        # accumulates to ~1e-2 relative on the deepest kernels (outputs
+        # above match at 1e-4; measured worst 8e-3)
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(a) + 1e-2 * np.max(np.abs(a)) + 1e-12
+        assert float(np.max(np.abs(a - b) / denom)) < 2e-2, (
+            jax.tree_util.keystr(pa)
+        )

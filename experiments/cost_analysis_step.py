@@ -93,6 +93,39 @@ def main():
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:15]:
         log(f"  {v/1e6:10.1f} MB  {k}")
 
+    # pure layout copies (relayout traffic: read + write the buffer)
+    copy_bytes = sum(
+        sz for sz, name, kind, line in sizes
+        if re.match(r"\s*%?[\w\.\-]+ = \S+ copy\(", line.strip())
+        or " copy(" in line.split("=", 1)[1][:40]
+    )
+    log(f"pure copy result bytes: {copy_bytes/1e6:.1f} MB "
+        f"(~{2*copy_bytes/819e9*1e3:.2f} ms of relayout traffic)")
+
+    # attribute result bytes to module paths from metadata op_name
+    mod = {}
+    for m_line in txt.splitlines():
+        m_line = m_line.strip()
+        m = re.match(r"%?[\w\.\-]+ = (\w+)\[([\d,]*)\]", m_line)
+        if not m or not m.group(2):
+            continue
+        dtype, dims = m.groups()
+        n = int(np.prod([int(d) for d in dims.split(",")]))
+        bpe = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1}.get(
+            dtype, 4
+        )
+        mm = re.search(r'op_name="jit\(step_impl\)/([^"]+)"', m_line)
+        if not mm:
+            continue
+        path = mm.group(1)
+        path = re.sub(r"^transpose\(jvp\((\w+)\)\)/", r"bwd:\1/", path)
+        path = re.sub(r"^jvp\((\w+)\)/", r"fwd:\1/", path)
+        key = "/".join(path.split("/")[:3])
+        mod[key] = mod.get(key, 0) + n * bpe
+    log("result bytes by module path (top 25):")
+    for k, v in sorted(mod.items(), key=lambda kv: -kv[1])[:25]:
+        log(f"  {v/1e6:10.1f} MB  {k}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -59,6 +59,51 @@ def main():
 
     PROGS = {}
 
+    def addg(name, shape):
+        # batch folded into channels via feature_group_count: same
+        # FLOPs, full 128-lane buffers (64-ch maps waste half of every
+        # (8,128) tile). [B, H, W, C] -> [1, H, W, B*C], groups=B.
+        B, H, W, C = shape
+        x32 = (
+            rs.randn(B, H, W, C).astype(np.float32)
+            .transpose(1, 2, 0, 3).reshape(1, H, W, B * C)
+        )
+        k32 = (rs.randn(3, 3, C, B * C) * 0.05).astype(np.float32)
+
+        def gconv(x, k):
+            return lax.conv_general_dilated(
+                x, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=DN, feature_group_count=B,
+            )
+
+        for prec, cast in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            x0 = jnp.asarray(x32).astype(cast)
+            k0 = jnp.asarray(k32).astype(cast)
+
+            def body(carry, i, _cast=cast):
+                k, x = carry
+
+                def loss(k, x):
+                    return gconv(x, k).astype(jnp.float32).mean()
+
+                gk, gx = jax.grad(loss, argnums=(0, 1))(k, x)
+                return (k - _cast(1e-9) * gk, x - _cast(1e-9) * gx)
+
+            progs = {}
+            for kk in KS:
+                def run(carry, _k=kk, _body=body):
+                    def step(c, i):
+                        return _body(c, i), ()
+
+                    c, _ = lax.scan(step, carry, jnp.arange(_k))
+                    return c
+
+                progs[kk] = (
+                    jax.jit(run, donate_argnums=(0,)),
+                    lambda _k0=k0, _x0=x0: (jnp.copy(_k0), jnp.copy(_x0)),
+                )
+            PROGS[f"{name}_{prec}"] = progs
+
     def add(name, shape, stride, pad_to=None):
         cin = shape[-1]
         x32 = rs.randn(*shape).astype(np.float32)
@@ -100,6 +145,7 @@ def main():
     add("cp", (2, 248, 216, 64), 1)
     add("csp", (2, 496, 432, 64), 2, pad_to=128)
     add("cpp", (2, 248, 216, 64), 1, pad_to=128)
+    addg("cg", (2, 248, 216, 64))
 
     prefixes = tuple(sys.argv[1:])
     if prefixes:

@@ -390,15 +390,41 @@ class RPN(nn.Module):
             if self.encode_background_as_zeros
             else self.num_class + 1
         )
-        box_preds = nn.Conv(
-            self.num_anchor_per_loc * self.box_code_size, (1, 1)
-        )(x)
-        cls_preds = nn.Conv(num_cls, (1, 1))(x)
-        out = {"box_preds": box_preds, "cls_preds": cls_preds}
+        # ONE fused 1x1 head conv instead of three: each separate head
+        # re-reads the 164 MB upsample-concat map forward AND emits its
+        # own [B, H, W, 384] input-grad backward (the adds alone were
+        # ~0.5 GB of the 14.7 GB step traffic, cost_analysis_step r4).
+        # Param tree keeps the reference's three Conv_0/1/2 (same
+        # names/shapes/init — flax param RNG is path-derived), weights
+        # concatenated at apply time.
+        from papc_tpu.nn.layers import _Conv2dParams
+
+        cin = x.shape[-1]
+        n_box = self.num_anchor_per_loc * self.box_code_size
+        n_dir = self.num_anchor_per_loc * 2
+        kb, bb = _Conv2dParams(
+            n_box, cin, kernel_size=(1, 1), name="Conv_0"
+        )()
+        kc, bc = _Conv2dParams(
+            num_cls, cin, kernel_size=(1, 1), name="Conv_1"
+        )()
+        kernels = [kb[0, 0], kc[0, 0]]
+        biases = [bb, bc]
         if self.use_direction_classifier:
-            out["dir_cls_preds"] = nn.Conv(
-                self.num_anchor_per_loc * 2, (1, 1)
-            )(x)
+            kd, bd = _Conv2dParams(
+                n_dir, cin, kernel_size=(1, 1), name="Conv_2"
+            )()
+            kernels.append(kd[0, 0])
+            biases.append(bd)
+        w = jnp.concatenate(kernels, axis=-1).astype(x.dtype)
+        b = jnp.concatenate(biases).astype(x.dtype)
+        h = jnp.einsum("bhwc,co->bhwo", x, w) + b
+        out = {
+            "box_preds": h[..., :n_box],
+            "cls_preds": h[..., n_box : n_box + num_cls],
+        }
+        if self.use_direction_classifier:
+            out["dir_cls_preds"] = h[..., n_box + num_cls :]
         return out
 
 

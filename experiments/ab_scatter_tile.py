@@ -81,15 +81,25 @@ def main():
             PROGS[name] = progs
 
     compiled = {}
+    skipped = set()
     for name, prog in PROGS.items():
         for k in KS:
+            if name in skipped:
+                continue
             log(f"compile {name} K={k} ...")
             t0 = time.perf_counter()
             fn, init = prog[k]
-            c = fn(init())
-            np.asarray(c[0, 0, 0])
+            try:
+                c = fn(init())
+                np.asarray(c[0, 0, 0])
+            except Exception as e:  # VMEM OOM at big tiles: skip config
+                log(f"  SKIP ({type(e).__name__}): {str(e)[:160]}")
+                skipped.add(name)
+                compiled.pop((name, KS[0]), None)
+                continue
             compiled[(name, k)] = (fn, init)
             log(f"  compiled+ran in {time.perf_counter()-t0:.1f}s")
+    PROGS = {n: p for n, p in PROGS.items() if n not in skipped}
 
     def window(name, k):
         fn, init = compiled[(name, k)]

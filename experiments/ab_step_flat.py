@@ -77,6 +77,7 @@ def main():
 
     model_fast = model.clone(scatter_s2d=True, pfn_flat=True,
                              max_points_per_pillar=P)
+    model_def = model_fast.clone(rpn_deferred_upsample=True)
 
     # ---- 1. parity -----------------------------------------------------
     out_c = jax.jit(
@@ -99,6 +100,21 @@ def main():
         err = float(jnp.max(jnp.abs(out_c[k] - out_f[k])))
         scale = float(jnp.max(jnp.abs(out_c[k])))
         log(f"parity {k}: max|err|={err:.3e} (scale {scale:.3f})")
+        assert err < 2e-2 * max(scale, 0.1), (k, err)
+
+    out_d = jax.jit(
+        lambda: model_def.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            None, batch["num_points"], batch["coordinates"],
+            train=False,
+            points=fast_batch["points_flat"],
+            point_pillar=fast_batch["point_pillar"],
+        )
+    )()
+    for k in out_c:
+        err = float(jnp.max(jnp.abs(out_c[k] - out_d[k])))
+        scale = float(jnp.max(jnp.abs(out_c[k])))
+        log(f"parity-def {k}: max|err|={err:.3e} (scale {scale:.3f})")
         assert err < 2e-2 * max(scale, 0.1), (k, err)
 
     # ---- 2. e2e fast-path train steps -----------------------------------
@@ -142,6 +158,8 @@ def main():
     add_scan("ppc_f32", model, batch, "fp32")
     add_scan("ppfast_f32", model_fast, fast_batch, "fp32")
     add_scan("ppfast_bf16", model_fast, fast_batch, "bf16")
+    add_scan("ppdef_f32", model_def, fast_batch, "fp32")
+    add_scan("ppdef_bf16", model_def, fast_batch, "bf16")
 
     prefixes = tuple(sys.argv[1:])
     if prefixes:

@@ -181,6 +181,9 @@ def build_network(cfg, voxel_generator, target_assigner) -> PointPillars:
         scatter_s2d=bool(model_cfg.get("SCATTER_S2D", True)),
         pfn_flat=bool(model_cfg.get("PFN_FLAT", True)),
         max_points_per_pillar=int(voxel_generator.max_num_points),
+        rpn_deferred_upsample=bool(
+            model_cfg.get("RPN_DEFERRED_UPS", True)
+        ),
     )
 
 

@@ -338,6 +338,9 @@ class RPN(nn.Module):
     use_bev: bool = False
     box_code_size: int = 7
     s2d_input: bool = False  # x is the s2d canvas [B, ny/2+1, nx/2+1, 4C]
+    # upsample via coarse-res 1x1 convs + depth-to-space of the tiny
+    # head maps (exact; see the deferred-upsampling comment below)
+    deferred_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, bev=None, train: bool = True):
@@ -353,7 +356,23 @@ class RPN(nn.Module):
                 )(h)
             return h
 
-        ups = []
+        # deferred upsampling: the stride-s s×s ConvTranspose has NO
+        # kernel overlap, so it is exactly a 1×1 conv to s²·F phase
+        # channels at the coarse resolution; BatchNorm (per-channel,
+        # phase-pooled stats), ReLU, and the linear heads all commute
+        # with depth-to-space, so only the tiny head maps are ever
+        # upsampled and the 164 MB [B, H, W, 384] concat map never
+        # materializes. Exact math (CPU goldens); param tree unchanged
+        # (ConvTranspose_i / BatchNorm_i twins).
+        deferred = (
+            self.deferred_upsample
+            and self.use_norm
+            and not self.use_groupnorm
+            and not self.use_bev
+        )
+
+        ups = []  # classic: full-res activation maps
+        acts = []  # deferred: ([B, h, w, s, s, F], s) coarse activations
         for i in range(3):
             x = _ConvBlock(
                 self.num_filters[i],
@@ -378,12 +397,55 @@ class RPN(nn.Module):
                 b = nn.max_pool(b, (2, 2), strides=(2, 2))
                 x = jnp.concatenate([x, b], axis=-1)
             s = self.upsample_strides[i]
-            up = nn.ConvTranspose(
-                self.num_upsample_filters[i], (s, s), strides=(s, s),
-                use_bias=not self.use_norm,
-            )(x)
-            ups.append(nn.relu(bn(up)))
-        x = jnp.concatenate(ups, axis=-1)
+            f_up = self.num_upsample_filters[i]
+            if deferred:
+                from papc_tpu.nn.layers import _BNParams, _Conv2dParams
+
+                kt, _ = _Conv2dParams(
+                    f_up, x.shape[-1], kernel_size=(s, s),
+                    use_bias=False, name=f"ConvTranspose_{i}",
+                )()
+                # z[b,h,w,p,q,o] = Σ_c x[b,h,w,c] k[s-1-p,s-1-q,c,o] —
+                # the pre-depth-to-space deconv output
+                # (lax.conv_transpose applies the kernel mirrored)
+                z = jnp.einsum(
+                    "bhwc,pqco->bhwpqo",
+                    x,
+                    kt[::-1, ::-1].astype(x.dtype),
+                )
+                scale, bbias, rm, rv = _BNParams(
+                    f_up, name=f"BatchNorm_{i}"
+                )()
+                if train:
+                    zf = z.astype(jnp.float32)
+                    axes = tuple(range(z.ndim - 1))
+                    mean = jnp.mean(zf, axes)
+                    var = jnp.mean(jnp.square(zf), axes) - jnp.square(
+                        mean
+                    )
+                    if not self.is_initializing():
+                        m = PFN_BN["momentum"]
+                        rm.value = m * rm.value + (1 - m) * mean
+                        rv.value = m * rv.value + (1 - m) * var
+                else:
+                    mean, var = rm.value, rv.value
+                inv = (
+                    jax.lax.rsqrt(var + PFN_BN["epsilon"])
+                    * scale.astype(jnp.float32)
+                )
+                act = nn.relu(
+                    (z - mean.astype(z.dtype))
+                    * inv.astype(z.dtype)
+                    + bbias.astype(z.dtype)
+                )
+                acts.append((act, s))
+            else:
+                up = nn.ConvTranspose(
+                    f_up, (s, s), strides=(s, s),
+                    use_bias=not self.use_norm,
+                    name=f"ConvTranspose_{i}",
+                )(x)
+                ups.append(nn.relu(bn(up)))
 
         num_cls = self.num_anchor_per_loc * (
             self.num_class
@@ -391,15 +453,15 @@ class RPN(nn.Module):
             else self.num_class + 1
         )
         # ONE fused 1x1 head conv instead of three: each separate head
-        # re-reads the 164 MB upsample-concat map forward AND emits its
-        # own [B, H, W, 384] input-grad backward (the adds alone were
-        # ~0.5 GB of the 14.7 GB step traffic, cost_analysis_step r4).
-        # Param tree keeps the reference's three Conv_0/1/2 (same
-        # names/shapes/init — flax param RNG is path-derived), weights
-        # concatenated at apply time.
+        # re-reads the upsample-concat map forward AND emits its own
+        # [B, H, W, 384] input-grad backward (the adds alone were
+        # ~0.5 GB of step traffic, cost_analysis_step r4). Param tree
+        # keeps the reference's three Conv_0/1/2 (same names/shapes/
+        # init — flax param RNG is path-derived), weights concatenated
+        # at apply time.
         from papc_tpu.nn.layers import _Conv2dParams
 
-        cin = x.shape[-1]
+        cin = sum(self.num_upsample_filters)
         n_box = self.num_anchor_per_loc * self.box_code_size
         n_dir = self.num_anchor_per_loc * 2
         kb, bb = _Conv2dParams(
@@ -416,9 +478,30 @@ class RPN(nn.Module):
             )()
             kernels.append(kd[0, 0])
             biases.append(bd)
-        w = jnp.concatenate(kernels, axis=-1).astype(x.dtype)
-        b = jnp.concatenate(biases).astype(x.dtype)
-        h = jnp.einsum("bhwc,co->bhwo", x, w) + b
+        w = jnp.concatenate(kernels, axis=-1)
+        b = jnp.concatenate(biases)
+
+        if deferred:
+            # heads applied per resolution (head of a concat is a sum
+            # of per-slice matmuls), then depth-to-space the TINY head
+            # maps and sum
+            h = None
+            off = 0
+            for act, s in acts:
+                f_up = act.shape[-1]
+                wi = w[off : off + f_up].astype(act.dtype)
+                off += f_up
+                y = jnp.einsum("bhwpqo,of->bhwpqf", act, wi)
+                B_, hh, ww, _, _, O_ = y.shape
+                y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    B_, hh * s, ww * s, O_
+                )
+                h = y if h is None else h + y
+            h = h + b.astype(h.dtype)
+        else:
+            x = jnp.concatenate(ups, axis=-1)
+            wx = w.astype(x.dtype)
+            h = jnp.einsum("bhwc,co->bhwo", x, wx) + b.astype(x.dtype)
         out = {
             "box_preds": h[..., :n_box],
             "cls_preds": h[..., n_box : n_box + num_cls],
@@ -460,6 +543,8 @@ class PointPillars(nn.Module):
     # (``points``/``point_pillar`` kwargs) — see PillarFeatureNetFlat
     pfn_flat: bool = False
     max_points_per_pillar: int = 100
+    # RPN deferred upsampling (exact; see RPN.deferred_upsample)
+    rpn_deferred_upsample: bool = False
 
     @nn.compact
     def __call__(
@@ -514,5 +599,6 @@ class PointPillars(nn.Module):
             num_groups=self.num_groups,
             box_code_size=self.box_code_size,
             s2d_input=use_s2d,
+            deferred_upsample=self.rpn_deferred_upsample,
             name="rpn",
         )(spatial, train=train)

@@ -104,8 +104,10 @@ def scatter_rows_add_pallas(
     """
     B, S, C = g.shape
     # index-tile width (MXU contraction dim): deep tiles amortize the
-    # per-program overhead and keep the MXU pipeline full
-    T = t if t is not None else min(512, ((S + 127) // 128) * 128)
+    # per-program overhead and keep the MXU pipeline full. 2048 won the
+    # r4 on-chip sweep at both SSG backward shapes (~10% over 512,
+    # experiments/ab_scatter_tile.log); 4096 OOMs the 16 MB scoped VMEM.
+    T = t if t is not None else min(2048, ((S + 127) // 128) * 128)
     T = min(T, ((S + 127) // 128) * 128)
     cpad = (-C) % 128
     spad = (-S) % T

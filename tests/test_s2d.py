@@ -131,3 +131,76 @@ def test_pointpillars_s2d_matches_classic():
         assert float(np.max(np.abs(a - b) / denom)) < 2e-2, (
             jax.tree_util.keystr(pa)
         )
+
+
+def test_rpn_deferred_upsample_matches_classic():
+    """RPN(deferred_upsample=True): coarse-res 1x1 deconv twins +
+    phase-pooled BN + per-resolution heads + depth-to-space reproduce
+    the classic ConvTranspose/concat path exactly (same param tree)."""
+    from papc_tpu.detect.model import RPN
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 24, 32).astype(np.float32))
+    classic_m = RPN(num_class=1, deferred_upsample=False)
+    fast_m = RPN(num_class=1, deferred_upsample=True)
+    variables = classic_m.init(KEY, x, train=False)
+    v2 = fast_m.init(KEY, x, train=False)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables),
+        jax.tree_util.tree_leaves_with_path(v2),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        assert a.shape == b.shape, jax.tree_util.keystr(pa)
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ), jax.tree_util.keystr(pa)
+
+    for train in (True, False):
+        out_c, mut_c = classic_m.apply(
+            variables, x, train=train, mutable=["batch_stats"]
+        )
+        out_f, mut_f = fast_m.apply(
+            variables, x, train=train, mutable=["batch_stats"]
+        )
+        for k in out_c:
+            np.testing.assert_allclose(
+                np.asarray(out_f[k]), np.asarray(out_c[k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{k} train={train}",
+            )
+        if train:
+            for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(
+                    mut_c["batch_stats"]
+                ),
+                jax.tree_util.tree_leaves_with_path(
+                    mut_f["batch_stats"]
+                ),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-4,
+                    atol=1e-5, err_msg=jax.tree_util.keystr(pa),
+                )
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {
+                "params": params,
+                "batch_stats": variables["batch_stats"],
+            },
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(jnp.square(v)) for v in out.values())
+
+    g_c = jax.grad(lambda p: loss(classic_m, p))(variables["params"])
+    g_f = jax.grad(lambda p: loss(fast_m, p))(variables["params"])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_c),
+        jax.tree_util.tree_leaves_with_path(g_f),
+    ):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(a) + 1e-2 * np.max(np.abs(a)) + 1e-12
+        assert float(np.max(np.abs(a - b) / denom)) < 2e-2, (
+            jax.tree_util.keystr(pa)
+        )

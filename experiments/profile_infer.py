@@ -52,13 +52,20 @@ def main():
     predict_cfg = builders.build_predict_config(cfg, ta)
     infer_batch = {
         k: batch[k]
-        for k in ("voxels", "num_points", "coordinates", "anchors")
+        for k in (
+            "voxels", "num_points", "coordinates", "anchors",
+            "points_flat", "point_pillar",
+        )
+        if k in batch
     }
 
     def apply_fwd(state, b):
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            b["voxels"], b["num_points"], b["coordinates"], train=False,
+            b.get("voxels"), b["num_points"], b["coordinates"],
+            train=False,
+            points=b.get("points_flat"),
+            point_pillar=b.get("point_pillar"),
         )
 
     @jax.jit
@@ -90,12 +97,16 @@ def main():
         return jax.vmap(per_sample)(boxes, top_scores)
 
     full_step = make_predict_step(model, predict_cfg, coder)
+    full_bf16 = make_predict_step(
+        model, predict_cfg, coder, precision="bf16"
+    )
 
     STAGES = {
         "fwd": lambda: stage_fwd(state, infer_batch),
         "decode": lambda: stage_decode(state, infer_batch)[1],
         "topk": lambda: stage_topk(state, infer_batch)[1],
         "full": lambda: full_step(state, infer_batch)["scores"],
+        "full_bf16": lambda: full_bf16(state, infer_batch)["scores"],
     }
 
     # compile everything up front, one risky program at a time

@@ -252,8 +252,22 @@ def make_scan_detection_train_step(
     return scan_train_step
 
 
-def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
+def make_predict_step(
+    model, predict_cfg, box_coder, pillarize=None,
+    precision: str = "fp32",
+):
+    """``precision="bf16"`` runs the network forward in bf16 (params +
+    point inputs cast at apply time; decode/NMS stay f32 on f32-cast
+    head maps) — the serving mode for the HBM-bound RPN forward."""
+    from papc_tpu.train.precision import cast_floating
+
+    bf16 = precision == "bf16"
+    if precision not in ("fp32", "bf16"):
+        raise ValueError(f"unknown precision {precision!r}")
+    import jax.numpy as jnp
+
     def _apply(state: TrainState, batch: dict):
+        points = batch.get("points_flat")
         if pillarize is not None:
             voxels, num_points, coords = pillarize(batch)
         else:
@@ -261,15 +275,25 @@ def make_predict_step(model, predict_cfg, box_coder, pillarize=None):
                 batch.get("voxels"), batch["num_points"],
                 batch["coordinates"],
             )
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+        params = state.params
+        if bf16:
+            params = cast_floating(params, jnp.bfloat16)
+            if voxels is not None:
+                voxels = voxels.astype(jnp.bfloat16)
+            if points is not None:
+                points = points.astype(jnp.bfloat16)
+        preds = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
             voxels,
             num_points,
             coords,
             train=False,
-            points=batch.get("points_flat"),
+            points=points,
             point_pillar=batch.get("point_pillar"),
         )
+        if bf16:
+            preds = cast_floating(preds, jnp.float32)
+        return preds
 
     if predict_cfg.multiclass_nms:
         # reference's multiclass branch (detectors/pointpillars.py:279-316,

@@ -344,3 +344,46 @@ def test_pfn_fused_branch_matches_classic():
     np.testing.assert_allclose(
         np.asarray(ef), np.asarray(ec), rtol=2e-2, atol=6e-2
     )
+
+
+def test_predict_bf16_matches_fp32(net_and_vars):
+    """make_predict_step(precision='bf16') casts the network forward to
+    bf16 (decode/NMS stay f32) and reproduces fp32 detections within
+    bf16 tolerance."""
+    from papc_tpu.detect.box_coder import GroundBox3dCoder
+    from papc_tpu.detect.train import TrainState, make_predict_step
+    from papc_tpu.detect.detector import PredictConfig
+    import optax
+
+    model, variables, inputs = net_and_vars
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=optax.sgd(1e-3),
+    )
+    rng = np.random.RandomState(0)
+    A = NY // 2 * (NX // 2) * 2
+    batch = {
+        "voxels": inputs[0],
+        "num_points": inputs[1],
+        "coordinates": inputs[2],
+        "anchors": jnp.asarray(
+            np.tile(
+                np.array([0.0, 0, -1, 1.6, 3.9, 1.56, 0], np.float32),
+                (B, A, 1),
+            )
+        ),
+    }
+    pcfg = PredictConfig(nms_pre_max_size=50, nms_post_max_size=10)
+    coder = GroundBox3dCoder()
+    step32 = make_predict_step(model, pcfg, coder)
+    step16 = make_predict_step(model, pcfg, coder, precision="bf16")
+    out32 = step32(state, batch)
+    out16 = step16(state, batch)
+    assert out32["box3d_lidar"].shape == out16["box3d_lidar"].shape
+    assert np.isfinite(np.asarray(out16["scores"])).all()
+    # scores of kept boxes agree to bf16 tolerance where both kept
+    s32 = np.sort(np.asarray(out32["scores"]).ravel())
+    s16 = np.sort(np.asarray(out16["scores"]).ravel())
+    np.testing.assert_allclose(s16, s32, rtol=0.1, atol=0.05)

@@ -129,7 +129,9 @@ def main():
 
     out = {}
     prev = 0.0
-    for name in ("fwd", "decode", "topk", "full"):
+    for name in ("fwd", "decode", "topk", "full", "full_bf16"):
+        if name not in best:
+            continue
         per_frame = best[name] / Bd
         out[name] = {
             "ms_per_call": best[name],

@@ -94,6 +94,11 @@ def _bind(lib):
         p64, f32, i32, i32, i64, i64,
         ctypes.c_int32,
     ]
+    lib.points_to_voxel_flat_epoch.restype = ctypes.c_int
+    lib.points_to_voxel_flat_epoch.argtypes = [
+        f32, i64, i64, f32, f32, p64, i32, i32, ctypes.c_int32,
+        p64, f32, i32, i32, i32, i64, i64, i64, i32,
+    ]
     lib.rbbox_iou.restype = None
     lib.rbbox_iou.argtypes = [
         f32, i64, f32, i64, ctypes.c_float, ctypes.c_int, f32,
@@ -313,6 +318,57 @@ def points_to_voxel_padded(
             max_points, max_voxels, 0,
         )
     return voxels, coords, nppv, k
+
+
+def points_to_voxel_flat(
+    points: np.ndarray,
+    voxel_size,
+    point_cloud_range,
+    max_points: int = 35,
+    max_voxels: int = 20000,
+    n_cap: int = 25600,
+):
+    """Flat-mode voxelization for the flat-points PFN: same first-come
+    pillar assignment and per-pillar truncation as
+    :func:`points_to_voxel`, but streams the accepted points into a
+    fresh caller-owned flat ``[n_cap, D]`` array with per-point pillar
+    rows (``-1`` padding) instead of filling the ~98%-zeros
+    ``[max_voxels, max_points, D]`` grid. Returns
+    ``(flat_points [n_cap, D], flat_owner [n_cap], coords
+    [max_voxels, 3] zyx, num_points [max_voxels], K)``. Points past
+    ``n_cap`` are dropped entirely (counts stay consistent with the
+    flat view)."""
+    lib = _load()
+    points = _f32(points)
+    vsz = _f32(voxel_size)
+    rng = _f32(point_cloud_range)
+    grid = _grid_of(point_cloud_range, voxel_size)
+    N, D = points.shape
+    key = ("scratch", grid.tobytes())
+    flat = np.zeros((n_cap, D), np.float32)
+    owner = np.full((n_cap,), -1, np.int32)
+    coords = np.zeros((max_voxels, 3), np.int32)
+    nppv = np.zeros((max_voxels,), np.int32)
+    out_n = np.zeros((1,), np.int32)
+    with _vox_lock:
+        st = _get_scratch(key, grid, N)
+        k = lib.points_to_voxel_flat_epoch(
+            _ptr(points, ctypes.c_float), N, D,
+            _ptr(vsz, ctypes.c_float), _ptr(rng, ctypes.c_float),
+            _ptr(grid, ctypes.c_int64),
+            _ptr(st["scratch_epoch"], ctypes.c_int32),
+            _ptr(st["scratch_idx"], ctypes.c_int32),
+            st["epoch"],
+            _ptr(st["lin"], ctypes.c_int64),
+            _ptr(flat, ctypes.c_float),
+            _ptr(owner, ctypes.c_int32),
+            _ptr(coords, ctypes.c_int32),
+            _ptr(nppv, ctypes.c_int32),
+            max_points, max_voxels, n_cap,
+            _ptr(out_n, ctypes.c_int32),
+        )
+    owner[int(out_n[0]):] = -1
+    return flat, owner, coords, nppv, k
 
 
 def rbbox_iou(

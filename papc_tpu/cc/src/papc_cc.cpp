@@ -150,6 +150,71 @@ int points_to_voxel_epoch(
   return voxel_num;
 }
 
+// Flat-mode voxelizer for the flat-points PFN: identical first-come
+// pillar assignment and per-pillar max_points truncation as
+// points_to_voxel_epoch, but the accepted points stream into a flat
+// [n_cap, ndim] array with a per-point pillar-row index instead of the
+// mostly-padded [max_voxels, max_points, ndim] grid (which at the KITTI
+// workload is ~98% zeros that the host then fills, ships, and the
+// device re-reads). Points accepted once the flat cap is full are
+// dropped ENTIRELY (not counted in num_points_per_voxel) so the flat
+// view and the counts always agree. Writes the accepted-point count to
+// *out_n; returns the voxel count K.
+int points_to_voxel_flat_epoch(
+    const float* points, int64_t num_points, int64_t ndim,
+    const float* voxel_size, const float* coors_range,
+    const int64_t* grid_dims,
+    int32_t* scratch_epoch, int32_t* scratch_idx, int32_t epoch,
+    int64_t* lin_buf,
+    float* flat_points, int32_t* flat_owner,
+    int32_t* coords, int32_t* num_points_per_voxel,
+    int64_t max_points, int64_t max_voxels, int64_t n_cap,
+    int32_t* out_n) {
+  const int64_t nx = grid_dims[0], ny = grid_dims[1], nz = grid_dims[2];
+
+  const float r0 = coors_range[0], r1 = coors_range[1],
+              r2 = coors_range[2];
+  const float v0 = voxel_size[0], v1 = voxel_size[1],
+              v2 = voxel_size[2];
+  for (int64_t p = 0; p < num_points; ++p) {
+    const float* pt = points + p * ndim;
+    const int64_t c0 = (int64_t)std::floor((pt[0] - r0) / v0);
+    const int64_t c1 = (int64_t)std::floor((pt[1] - r1) / v1);
+    const int64_t c2 = (int64_t)std::floor((pt[2] - r2) / v2);
+    const bool ok = c0 >= 0 && c0 < nx && c1 >= 0 && c1 < ny &&
+                    c2 >= 0 && c2 < nz;
+    lin_buf[p] = ok ? c2 * ny * nx + c1 * nx + c0 : -1;
+  }
+
+  int voxel_num = 0;
+  int64_t n = 0;
+  for (int64_t p = 0; p < num_points; ++p) {
+    const int64_t lin = lin_buf[p];
+    if (lin < 0) continue;
+    int32_t voxelidx =
+        scratch_epoch[lin] == epoch ? scratch_idx[lin] : -1;
+    if (voxelidx == -1) {
+      if (voxel_num >= max_voxels) continue;
+      voxelidx = voxel_num++;
+      scratch_epoch[lin] = epoch;
+      scratch_idx[lin] = voxelidx;
+      coords[voxelidx * 3 + 0] = (int32_t)(lin / (ny * nx));
+      coords[voxelidx * 3 + 1] = (int32_t)((lin / nx) % ny);
+      coords[voxelidx * 3 + 2] = (int32_t)(lin % nx);
+    }
+    int32_t& num = num_points_per_voxel[voxelidx];
+    if (num < max_points && n < n_cap) {
+      std::memcpy(flat_points + n * ndim, points + p * ndim,
+                  sizeof(float) * ndim);
+      flat_owner[n] = voxelidx;
+      ++n;
+      ++num;
+    }
+  }
+  *out_n = (int32_t)n;
+  return voxel_num;
+}
+
 // --------------------------------------------------------- polygon helpers
 namespace {
 

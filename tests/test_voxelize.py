@@ -203,3 +203,51 @@ def test_bev_map():
     assert bev[0, 0, 0] == pytest.approx(0.5)
     assert bev[1, 0, 0] == pytest.approx(1.5)
     assert bev[2, 0, 0] > 0  # density
+
+
+def test_cc_points_to_voxel_flat_matches_grid():
+    """Flat-mode C++ voxelizer vs the grid voxelizer + flatten: same
+    coords, same counts, same per-pillar point SETS (within-pillar
+    order may differ — compare keyed-sorted rows)."""
+    from papc_tpu import cc
+    from papc_tpu.detect.pfn_fast import flatten_pillars
+    from papc_tpu.detect.voxelize_np import points_to_voxel
+
+    if not cc.available():
+        pytest.skip("papc_cc not built")
+    rng = np.random.RandomState(0)
+    n = 20000
+    pts = np.concatenate(
+        [
+            rng.uniform(0, 69, (n, 1)),
+            rng.uniform(-39, 39, (n, 1)),
+            rng.uniform(-3, 1, (n, 1)),
+            rng.rand(n, 1),
+        ],
+        1,
+    ).astype(np.float32)
+    vs = np.array((0.16, 0.16, 4.0), np.float32)
+    pr = np.array((0.0, -39.68, -3.0, 69.12, 39.68, 1.0), np.float32)
+    vox, coords, nppv = points_to_voxel(
+        pts, vs, pr, 100, 12000, pad_output=True
+    )
+    flat, owner, coords2, nppv2, k = cc.points_to_voxel_flat(
+        pts, vs, pr, 100, 12000, 25600
+    )
+    np.testing.assert_array_equal(coords[:k], coords2[:k])
+    np.testing.assert_array_equal(nppv, nppv2)
+    ref_flat, ref_owner = flatten_pillars(
+        vox[None], nppv[None], coords[None]
+    )
+    assert int((owner >= 0).sum()) == int((ref_owner >= 0).sum())
+
+    def keyed(fp, ow):
+        m = ow >= 0
+        a = np.concatenate(
+            [ow[m][:, None].astype(np.float32), fp[m]], 1
+        )
+        return a[np.lexsort(a.T[::-1])]
+
+    np.testing.assert_array_equal(
+        keyed(flat, owner), keyed(ref_flat[0], ref_owner[0])
+    )

@@ -76,16 +76,27 @@ class SetAbstractionMsg(nn.Module):
         fps_idx = farthest_point_sample(xyz, S)
         new_xyz = index_points(xyz, fps_idx)  # [B, S, 3]
         outs = []
+        combined = (
+            None
+            if points is None
+            else jnp.concatenate([points, xyz], axis=-1)
+        )
         for i, radius in enumerate(self.radius_list):
             K = self.nsample_list[i]
             idx = query_ball_point(radius, K, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
-            if points is not None:
-                grouped_points = index_points(points, idx)
-                # reference concat order: (features, rel_xyz) — :262
-                grouped = jnp.concatenate([grouped_points, grouped_xyz], -1)
+            if combined is not None:
+                # reference concat order (features, rel_xyz) — :262 —
+                # realized as ONE gather of the pre-concatenated
+                # (features, xyz) + center subtraction on the xyz
+                # lanes (see ops.grouping.sample_and_group)
+                grouped = index_points(combined, idx)
+                grouped = grouped.at[..., -3:].add(
+                    -new_xyz[:, :, None, :]
+                )
             else:
-                grouped = grouped_xyz
+                grouped = (
+                    index_points(xyz, idx) - new_xyz[:, :, None, :]
+                )
             outs.append(
                 PointMLP(self.mlp_list[i], pool_max=True)(grouped, train)
             )  # [B, S, C_i]

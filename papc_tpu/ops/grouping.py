@@ -150,13 +150,22 @@ def sample_and_group(
     fps_idx = farthest_point_sample(xyz, npoint, key=key)
     new_xyz = index_points(xyz, fps_idx)  # [B, npoint, 3]
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = index_points(xyz, idx)  # [B, npoint, nsample, 3]
-    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
     if points is not None:
-        grouped_points = index_points(points, idx)
-        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], -1)
+        # ONE row gather of the pre-concatenated (xyz, features): two
+        # separate gathers each lane-pad their output (3 → 128 for the
+        # xyz one) and each pay their own scatter-add backward; the
+        # combined form halves the gather traffic both ways. The center
+        # subtraction lands on the xyz lanes post-gather (XLA fuses it
+        # into the gather consumer) — values identical.
+        combined = jnp.concatenate([xyz, points], axis=-1)
+        grouped = index_points(combined, idx)  # [B, S, K, 3+D]
+        grouped_xyz = grouped[..., :3]
+        new_points = grouped.at[..., :3].add(
+            -new_xyz[:, :, None, :]
+        )
     else:
-        new_points = grouped_xyz_norm
+        grouped_xyz = index_points(xyz, idx)  # [B, S, K, 3]
+        new_points = grouped_xyz - new_xyz[:, :, None, :]
     if return_fps:
         return new_xyz, new_points, grouped_xyz, fps_idx
     return new_xyz, new_points

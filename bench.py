@@ -35,6 +35,28 @@ B, N = 32, 1024
 SHAPENET_TRAIN_SAMPLES = 12137  # 6 train shards of the ShapeNet h5 set
 
 
+def ssg_analytic_train_flops(b=B):
+    """Analytic model FLOPs of one SSG train step (VERDICT r4 #3a).
+
+    XLA's ``cost_analysis`` cannot count Pallas custom-call FLOPs, so
+    where the fused SA-MLP passes carry the matmuls it reports ~2e8 for
+    a ~1.6e11 program and the published "MFU" was garbage (BENCH_r04:
+    0.01%). This derives the model FLOPs from the architecture
+    (``models/classify/pointnet2.py``: SA(512,32,[64,64,128]) →
+    SA(128,64,[128,128,256]) → SA(group_all,[256,512,1024]) → head),
+    counting 2·MAC for every matmul, forward; the train step is
+    fwd + bwd ≈ 3× (dW and dx contractions). Geometry side terms
+    (square_distance, FPS updates, one-hot scatter contractions) are
+    implementation work, not model FLOPs, and are excluded — MFU here
+    is "useful model FLOPs / chip peak", the standard convention.
+    """
+    sa1 = b * 512 * 32 * 2 * (3 * 64 + 64 * 64 + 64 * 128)
+    sa2 = b * 128 * 64 * 2 * (131 * 128 + 128 * 128 + 128 * 256)
+    sa3 = b * 128 * 2 * (259 * 256 + 256 * 512 + 512 * 1024)
+    head = b * 2 * (1024 * 512 + 512 * 256 + 256 * 16)
+    return 3.0 * (sa1 + sa2 + sa3 + head)
+
+
 def _device_time(step, *, ks=(10, 40), repeats=3, flops=None, label=""):
     """Fetch-forced K-slope per-step seconds + MFU, physics-checked.
 
@@ -76,10 +98,14 @@ def bench_train_step(precision="fp32"):
         holder["state"] = s
         return loss
 
-    flops = compiled_flops(train_step, holder["state"], batch, rng)
+    # analytic model FLOPs: XLA's cost model can't see into the Pallas
+    # SA-MLP custom calls, so its count (kept as *_xla_counted) is ~1000x
+    # low here and must not be published as MFU (VERDICT r4 #3a)
+    flops = ssg_analytic_train_flops()
+    flops_xla = compiled_flops(train_step, holder["state"], batch, rng)
     return _device_time(
         step, flops=flops, label=f"ssg_train_{precision}"
-    ) + (flops,)
+    ) + (flops, flops_xla)
 
 
 def bench_train_step_scanned(precision="fp32", k_small=8, k_large=32):
@@ -133,11 +159,7 @@ def bench_train_step_scanned(precision="fp32", k_small=8, k_large=32):
         return res.step_s
 
     res = scan_slope(whole_call_time, k_small, k_large)
-    from papc_tpu.utils.timing import compiled_flops
-    from papc_tpu.train.trainer import make_train_step
-
-    train_step, _ = make_train_step(spec, precision=precision)
-    flops = compiled_flops(train_step, state, batch, rng)
+    flops = ssg_analytic_train_flops()
     mfu = check_physical(res.step_s, flops, f"ssg_scan_{precision}")
     return res.step_s, mfu, flops
 
@@ -336,22 +358,38 @@ def bench_pointpillars_step(precision="fp32", measure_infer=True):
         label=f"pointpillars_{precision}",
     )
 
-    if not measure_infer:  # skip the predict compile (bf16 rerun)
+    if not measure_infer:  # skip the predict compiles (bf16 rerun)
         return train_t, train_mfu, None
 
-    # inference: decode -> score threshold -> top-k -> rotated NMS@1000
+    # inference: decode -> score threshold -> top-k -> rotated NMS@1000.
+    # Three rows (VERDICT r4 #2): the PRODUCTION serving path is the
+    # flat-points input (the loader's PFN_FLAT output) in bf16
+    # (make_predict_step(precision="bf16"): network fwd bf16, decode/NMS
+    # f32); the legacy voxel-grid fp32 row is kept for cross-round
+    # continuity with BENCH_r01-r04's pointpillars_infer_ms_per_frame.
     from papc_tpu.detect.train import make_predict_step
 
     predict_cfg = builders.build_predict_config(cfg, ta)
-    predict_step = make_predict_step(model, predict_cfg, coder)
-    infer_batch = {k: batch[k] for k in
-                   ("voxels", "num_points", "coordinates", "anchors")}
+    infer = {}
+    legacy_batch = {k: batch[k] for k in
+                    ("voxels", "num_points", "coordinates", "anchors")}
+    arms = [("legacy_voxel_fp32", "fp32", legacy_batch)]
+    if "points_flat" in batch:
+        flat_batch = {k: batch[k] for k in
+                      ("points_flat", "point_pillar", "num_points",
+                       "coordinates", "anchors")}
+        arms += [("flat_fp32", "fp32", flat_batch),
+                 ("flat_bf16", "bf16", flat_batch)]
+    for name, prec, ibatch in arms:
+        predict_step = make_predict_step(
+            model, predict_cfg, coder, precision=prec
+        )
 
-    def istep():
-        return predict_step(holder["s"], infer_batch)["scores"]
+        def istep(_ps=predict_step, _ib=ibatch):
+            return _ps(holder["s"], _ib)["scores"]
 
-    infer_t, _ = _device_time(istep, ks=(5, 20))
-    return train_t, train_mfu, infer_t / Bd
+        infer[name] = _device_time(istep, ks=(5, 20))[0] / Bd
+    return train_t, train_mfu, infer
 
 
 def bench_pointpillars_step_scanned(precision="fp32", k_small=2,
@@ -410,6 +448,77 @@ def bench_pointpillars_step_scanned(precision="fp32", k_small=2,
         res.step_s, flops, f"pointpillars_scan_{precision}"
     )
     return res.step_s, mfu, flops
+
+
+def bench_zoo_steps(k_small=4, k_large=16):
+    """One device-true (scan-slope) train-step time per clas zoo family
+    beyond the SSG headline — VoxNet (voxel grids), KDNet (kd-tree
+    leaves), PointNet (T-Net clouds), VFE (tile+concat) — so "the zoo
+    is fast" is a recorded number, not an inference (VERDICT r4 #7).
+    Same trainer and scan path as the headline; kept cheap (small K,
+    2 repeats)."""
+    import jax
+    import jax.numpy as jnp
+
+    from papc_tpu.models import init_model
+    from papc_tpu.train.trainer import (
+        create_train_state,
+        make_scan_train_step,
+    )
+    from papc_tpu.utils.timing import fetch_forced_time, scan_slope
+
+    rs = np.random.RandomState(0)
+
+    def make_batch(spec):
+        batch = {
+            "label": jnp.asarray(rs.randint(0, 16, size=(B,))),
+            "mask": jnp.ones((B,), bool),
+        }
+        if spec.input_kind == "voxel":
+            batch["voxels"] = jnp.asarray(
+                (rs.rand(B, 32, 32, 32, 1) > 0.9), jnp.float32
+            )
+        else:
+            batch["points"] = jnp.asarray(
+                rs.randn(B, N, 3), jnp.float32
+            )
+        if spec.input_kind == "kd":
+            depth = int(np.log2(N))
+            batch["split_dims"] = tuple(
+                jnp.asarray(rs.randint(0, 3, size=(B, N >> l)))
+                for l in range(depth)
+            )
+        return batch
+
+    out = {}
+    for name in ("voxnet", "kdnet", "pointnet", "vfe"):
+        spec = init_model(name, "clas", num_classes=16)
+        batch = make_batch(spec)
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(spec, rng, batch)
+
+        def whole_call_time(k, _spec=spec, _batch=batch, _state=state,
+                            _rng=rng):
+            scan_step = make_scan_train_step(_spec, k)
+            stacked = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (k,) + x.shape),
+                _batch,
+            )
+            holder = {"s": jax.tree_util.tree_map(jnp.copy, _state)}
+
+            def call():
+                holder["s"], losses, _ = scan_step(
+                    holder["s"], stacked, _rng
+                )
+                return losses
+
+            return fetch_forced_time(
+                call, k_small=2, k_large=4, repeats=2
+            ).step_s
+
+        res = scan_slope(whole_call_time, k_small, k_large)
+        out[name] = res.step_s
+    return out
 
 
 def bench_fps_large_n():
@@ -562,6 +671,17 @@ def main():
             )
             return default
 
+    def calib():
+        """Fixed scanned-matmul drift probe (VERDICT r4 #3b): the same
+        program every round; cross-round comparisons normalize by this
+        row first to separate environment drift from real regressions."""
+        from papc_tpu.utils.timing import calibration_probe
+
+        res, u = calibration_probe()
+        return res.step_s, u
+
+    calib_start = safe(calib, default=(None, None))
+
     # tiny-kernel extras FIRST: measured after the big programs load,
     # per-dispatch cost in this process inflates ~100x (relay/runtime
     # state, observed 0.03 ms -> 10 ms for the same executable)
@@ -575,7 +695,9 @@ def main():
         flush=True,
     )
     try:
-        step_time, step_mfu, step_flops = bench_train_step()  # headline
+        step_time, step_mfu, step_flops, step_flops_xla = (
+            bench_train_step()  # headline
+        )
     except Exception as e:  # noqa: BLE001
         # Device path dead (e.g. relay outage): record the failure
         # honestly — one JSON line with a null value, never a stale or
@@ -597,8 +719,8 @@ def main():
         )
         return
     bf16 = safe(bench_train_step, precision="bf16",
-                default=(None, None, None))
-    step_time_bf16, step_mfu_bf16, _ = bf16
+                default=(None, None, None, None))
+    step_time_bf16, step_mfu_bf16, _, _ = bf16
     # device-true scanned stepping (production train(scan_steps=K));
     # headline throughput uses it when available — it IS the deployed
     # fast path, and it excludes relay dispatch that is not device work
@@ -612,6 +734,7 @@ def main():
     epoch_time = headline_time * (SHAPENET_TRAIN_SAMPLES // B)
     pp = safe(bench_pointpillars_step, default=(None, None, None))
     pp_step, pp_mfu, pp_infer = pp
+    pp_infer = pp_infer or {}
     pp_bf16 = safe(
         bench_pointpillars_step, precision="bf16", measure_infer=False,
         default=(None, None, None),
@@ -629,9 +752,12 @@ def main():
     pillarize_s, pillarize_kernel_s = safe(
         bench_pillarize, default=(None, None)
     )
+    zoo = safe(bench_zoo_steps, default={}) or {}
     fps_large = safe(bench_fps_large_n, default={})
     bq_large = safe(bench_ball_query_large_n, default={})
     riou_dev, riou_cc = riou
+    # re-probe at the end: a start/end split flags an in-run slow phase
+    calib_end = safe(calib, default=(None, None))
 
     def ms(x, nd=3):
         return round(x * 1e3, nd) if x is not None else None
@@ -657,9 +783,22 @@ def main():
                         "(papc_tpu.utils.timing; block_until_ready "
                         "does not block through the relay)"
                     ),
+                    # fixed scanned 2048^3 bf16 matmul chain, scan-slope
+                    # (papc_tpu.utils.timing.calibration_probe): same
+                    # program every round — normalize cross-round
+                    # comparisons by this row to remove environment drift
+                    "calib_matmul_ms": ms(calib_start[0]),
+                    "calib_matmul_mfu_pct": pct(calib_start[1]),
+                    "calib_matmul_ms_end": ms(calib_end[0]),
+                    "calib_matmul_mfu_pct_end": pct(calib_end[1]),
                     "step_ms": ms(step_time),
+                    # MFU from ANALYTIC model FLOPs (ssg_analytic_train_
+                    # flops) — XLA's cost model can't count Pallas
+                    # custom-call FLOPs; its value is kept below under
+                    # *_xla_counted and must not be read as MFU
                     "step_mfu_pct": pct(step_mfu),
-                    "step_flops": step_flops,
+                    "step_flops_analytic": step_flops,
+                    "step_flops_xla_counted": step_flops_xla,
                     "step_ms_bf16": ms(step_time_bf16),
                     "step_bf16_mfu_pct": pct(step_mfu_bf16),
                     "scan_step_ms": ms(scan_time),
@@ -686,7 +825,22 @@ def main():
                     "pointpillars_scan_bf16_mfu_pct": pct(
                         pp_scan_mfu_bf16
                     ),
-                    "pointpillars_infer_ms_per_frame": ms(pp_infer),
+                    # legacy_voxel_fp32 matches BENCH_r01-r04's
+                    # pointpillars_infer_ms_per_frame (voxel-grid input,
+                    # fp32); flat_bf16 is the PRODUCTION serving path
+                    # (flat-points loader output + bf16 network forward)
+                    "pointpillars_infer_ms_per_frame": ms(
+                        pp_infer.get("legacy_voxel_fp32")
+                    ),
+                    "pointpillars_infer_ms_per_frame_flat": ms(
+                        pp_infer.get("flat_fp32")
+                    ),
+                    "pointpillars_infer_ms_per_frame_bf16": ms(
+                        pp_infer.get("flat_bf16")
+                    ),
+                    "zoo_step_ms": {
+                        k: ms(v) for k, v in sorted(zoo.items())
+                    },
                     "fps_16k_xla_ms": ms(fps_large.get("xla"), 2),
                     "fps_16k_pallas_ms": ms(fps_large.get("pallas"), 2),
                     "ball_query_16k_xla_ms": ms(bq_large.get("xla"), 2),

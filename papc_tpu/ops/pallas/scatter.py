@@ -82,9 +82,45 @@ def _scatter_kernel(idx_ref, g_ref, out_ref, *, nblk: int):
         out_ref[0] = out_ref[0] + part.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_rows", "interpret", "t", "nblk")
-)
+# Tile defaults, resolved at TRACE time by the plain-python wrapper
+# below (never inside the jitted impl — a global read inside a jit
+# cache would let a stale trace survive an override flip). ``t`` is the
+# index-tile depth (MXU contraction dim): deep tiles amortize the ~6 µs
+# per-grid-step overhead. 2048 won the r4 ISOLATED-kernel sweep (~10%
+# over 512 at both SSG backward shapes,
+# experiments/ab_scatter_tile.log) AND the r5 COMPOSED-step A/B
+# (experiments/ab_scatter_composed.log: scanned SSG step 16.06 @t=2048
+# vs 16.21 @t=512 vs 16.14 @t=1024 ms, interleaved best-of in one
+# process) — which also exonerated this flip as the BENCH r3→r4
+# 14.28→16.08 ms suspect: the r3-equivalent t=512 arm measures 16.2 in
+# the same process, so that move was environment drift (now tracked by
+# bench.py's calib_ms probe). 4096 OOMs the 16 MB scoped VMEM.
+_TILE_DEFAULTS = {"t": 2048, "nblk": 512}
+
+
+class override_tile:
+    """``with override_tile(t=512):`` — flip the scatter tile default
+    for composed-step A/Bs (per CLAUDE.md, default flips must re-measure
+    the composed step, not just the isolated kernel). Trace-time only:
+    programs traced under the override keep it; already-compiled
+    programs are unaffected."""
+
+    def __init__(self, t: int | None = None, nblk: int | None = None):
+        self._new = {
+            k: v
+            for k, v in (("t", t), ("nblk", nblk))
+            if v is not None
+        }
+
+    def __enter__(self):
+        self._old = dict(_TILE_DEFAULTS)
+        _TILE_DEFAULTS.update(self._new)
+        return self
+
+    def __exit__(self, *exc):
+        _TILE_DEFAULTS.update(self._old)
+
+
 def scatter_rows_add_pallas(
     g: jax.Array,
     idx: jax.Array,
@@ -99,20 +135,38 @@ def scatter_rows_add_pallas(
     nothing. Output dtype is f32 (gradient accumulator), cast by the
     caller if needed. ``t`` (index-tile depth, the MXU contraction dim)
     and ``nblk`` (output row-block height) override the defaults — the
-    defaults were tuned on chip at the SSG backward shapes
-    (``experiments/ab_scatter_tile.py``).
+    defaults were tuned on chip at the SSG backward shapes, isolated
+    (``experiments/ab_scatter_tile.py``) and composed
+    (``experiments/ab_scatter_composed.py``); see ``_TILE_DEFAULTS``.
     """
+    S = g.shape[1]
+    if t is None:
+        t = min(_TILE_DEFAULTS["t"], ((S + 127) // 128) * 128)
+    if nblk is None:
+        nblk = min(
+            _TILE_DEFAULTS["nblk"], ((n_rows + 127) // 128) * 128
+        )
+    return _scatter_rows_add_jit(
+        g, idx, n_rows=n_rows, interpret=interpret, t=t, nblk=nblk
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "interpret", "t", "nblk")
+)
+def _scatter_rows_add_jit(
+    g: jax.Array,
+    idx: jax.Array,
+    *,
+    n_rows: int,
+    interpret: bool,
+    t: int,
+    nblk: int,
+) -> jax.Array:
     B, S, C = g.shape
-    # index-tile width (MXU contraction dim): deep tiles amortize the
-    # per-program overhead and keep the MXU pipeline full. 2048 won the
-    # r4 on-chip sweep at both SSG backward shapes (~10% over 512,
-    # experiments/ab_scatter_tile.log); 4096 OOMs the 16 MB scoped VMEM.
-    T = t if t is not None else min(2048, ((S + 127) // 128) * 128)
-    T = min(T, ((S + 127) // 128) * 128)
+    T = min(t, ((S + 127) // 128) * 128)
     cpad = (-C) % 128
     spad = (-S) % T
-    if nblk is None:
-        nblk = min(512, ((n_rows + 127) // 128) * 128)
     nblk = min(nblk, ((n_rows + 127) // 128) * 128)
     npad = (-n_rows) % nblk
     if cpad or spad:

@@ -29,6 +29,7 @@ even accounting for ordinary CUDA async dispatch.
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from dataclasses import dataclass, field
@@ -156,6 +157,69 @@ def scan_slope(time_for_k, k_small: int, k_large: int) -> TimingResult:
     return TimingResult(
         slope, "k-slope", k_small, k_large, [t_small], [t_large]
     )
+
+
+def calibration_probe(
+    dim: int = 2048,
+    k_small: int = 16,
+    k_large: int = 64,
+    repeats: int = 3,
+) -> tuple[TimingResult, float]:
+    """Fixed-workload drift probe: scanned bf16 ``dim³`` matmul chain.
+
+    The same program every round, timed by scan-slope (K matmuls inside
+    ONE jit, slope between K=16 and K=64 whole-call bests) — so its
+    number moves ONLY with the environment (chip allocation, relay
+    service state, host contention), never with framework code. Bench
+    records it as ``calib_matmul_ms``; comparing rounds r(N) → r(N+1)
+    divides out this row first, separating environment drift from real
+    regressions (VERDICT r4: several rows moved 10–25% with no code
+    change; the r3→r4 SSG 14.28→16.08 ms "regression" reproduced
+    bit-identically on the r3-equivalent code — pure drift).
+
+    Returns ``(TimingResult, implied_mfu)``; the MFU also serves as a
+    plausibility check (a healthy v5e runs a 2048³ bf16 chain at
+    ~50–90% of peak — far outside that means the measurement itself is
+    suspect).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = (
+        jax.random.normal(
+            jax.random.PRNGKey(0), (dim, dim), jnp.float32
+        )
+        / np.sqrt(dim)
+    ).astype(jnp.bfloat16)
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(1), (dim, dim), jnp.float32
+    ).astype(jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(x, k):
+        def step(c, _):
+            return (
+                lax.dot(c, w, preferred_element_type=jnp.bfloat16),
+                (),
+            )
+
+        c, _ = lax.scan(step, x, None, length=k)
+        return c
+
+    def time_for_k(k: int) -> float:
+        force(chain(x0, k))  # compile + warm outside the window
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            force(chain(x0, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    res = scan_slope(time_for_k, k_small, k_large)
+    u = check_physical(
+        res.step_s, 2.0 * dim**3, "calibration_probe", "bf16"
+    )
+    return res, u
 
 
 def compiled_flops(fn, *args, **kwargs) -> float | None:

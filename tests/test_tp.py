@@ -135,3 +135,91 @@ def test_tp_forward_exact(rng):
             jax.jit(fwd)(shard_params(mesh, variables["params"], 256))
         )
     np.testing.assert_allclose(ref, tp, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_tp_conv_forward_exact(rng):
+    """Conv kernels [kh, kw, cin, cout] column-shard over cout (the
+    detection RPN's layer family); tp=2 forward must match unsharded."""
+    from flax import linen as nn
+    from jax.sharding import Mesh
+
+    class ConvStack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(256, (3, 3), strides=(2, 2))(x)
+            x = nn.relu(x)
+            x = nn.Conv(256, (3, 3))(x)
+            x = nn.relu(x)
+            return nn.Conv(16, (1, 1))(x)  # narrow head: replicated
+
+    model = ConvStack()
+    x = jnp.asarray(rng.randn(2, 16, 16, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def fwd(params):
+        return model.apply({"params": params}, x)
+
+    ref = np.asarray(jax.jit(fwd)(variables["params"]))
+    mesh = Mesh(
+        np.asarray(jax.devices()[:2]).reshape(1, 2), ("data", "model")
+    )
+    sharded = shard_params(mesh, variables["params"], min_dim=256)
+    # the rule must have actually sharded the wide conv kernels
+    wide = sharded["Conv_0"]["kernel"]
+    assert "model" in str(wide.sharding.spec)
+    with mesh:
+        tp = np.asarray(jax.jit(fwd)(sharded))
+    np.testing.assert_allclose(ref, tp, atol=1e-5)
+
+
+def test_tp_bias_rule_requires_sharded_kernel():
+    """A bias shards ONLY when its sibling kernel sharded: free-standing
+    wide vectors (BatchNorm bias/scale) stay replicated (the pre-r5 rule
+    sharded any wide bias, contradicting its own docstring)."""
+    from jax.sharding import PartitionSpec as P
+
+    from papc_tpu.parallel.tp import _kernel_spec
+
+    params = {
+        "Dense_0": {
+            "kernel": np.zeros((128, 512), np.float32),
+            "bias": np.zeros((512,), np.float32),
+        },
+        "Dense_narrow": {
+            "kernel": np.zeros((128, 64), np.float32),
+            "bias": np.zeros((64,), np.float32),
+        },
+        "BatchNorm_0": {
+            "scale": np.ones((512,), np.float32),
+            "bias": np.zeros((512,), np.float32),
+        },
+        "Conv_0": {
+            "kernel": np.zeros((3, 3, 64, 256), np.float32),
+            "bias": np.zeros((256,), np.float32),
+        },
+    }
+    n_model, min_dim = 2, 256
+
+    def spec_of(module, name, kernel_sharded):
+        return param_spec(
+            (module, name), params[module][name], n_model, min_dim,
+            kernel_sharded=kernel_sharded,
+        )
+
+    # kernels: wide Dense + Conv shard their LAST axis, narrow doesn't
+    assert spec_of("Dense_0", "kernel", None) == P(None, "model")
+    assert spec_of("Conv_0", "kernel", None) == P(
+        None, None, None, "model"
+    )
+    assert spec_of("Dense_narrow", "kernel", None) == P()
+    assert _kernel_spec((3, 3, 64, 256), 2, 256) == P(
+        None, None, None, "model"
+    )
+    # biases: only next to a sharded kernel
+    assert spec_of("Dense_0", "bias", True) == P("model")
+    assert spec_of("Conv_0", "bias", True) == P("model")
+    assert spec_of("Dense_narrow", "bias", False) == P()
+    # the regression: a wide BatchNorm bias must NOT shard
+    assert spec_of("BatchNorm_0", "bias", False) == P()
+    assert spec_of("BatchNorm_0", "scale", False) == P()

@@ -1,11 +1,13 @@
 """Host-only official-KITTI-eval wall time at val-split scale.
 
-Synthesizes 3769 frames (~15 det / ~7 gt per frame, Car+Van mix with
-jittered detections so matching is non-trivial) and times
+Synthesizes 3769 frames (~15 det / ~7 gt per frame by default; pass a
+det range for the realistic ~30-50 pre-NMS-output load) and times
 ``get_official_eval_result`` end to end (bbox+bev+3d+AOS, both overlap
-settings). Pure host benchmark — no device. Usage:
+settings), reporting peak RSS — the r4 per-frame overlap cache
+(eval/kitti_eval.py) is memory we must bound, not just time. Pure host
+benchmark — no device. Usage:
 
-    python experiments/bench_official_eval.py [n_frames]
+    python experiments/bench_official_eval.py [n_frames] [dt_lo dt_hi]
 """
 
 import os
@@ -21,11 +23,11 @@ sys.path.insert(
 from papc_tpu.eval.kitti_eval import get_official_eval_result
 
 
-def synth_annos(rng, n_frames):
+def synth_annos(rng, n_frames, dt_lo=8, dt_hi=22):
     gts, dts = [], []
     for _ in range(n_frames):
         n_gt = int(rng.integers(3, 12))
-        n_dt = int(rng.integers(8, 22))
+        n_dt = int(rng.integers(dt_lo, dt_hi))
         names = rng.choice(
             ["Car", "Van", "Pedestrian", "DontCare"],
             size=n_gt, p=[0.6, 0.15, 0.15, 0.1],
@@ -88,19 +90,28 @@ def synth_annos(rng, n_frames):
 
 
 def main():
+    import resource
+
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3769
+    dt_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    dt_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 22
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    gts, dts = synth_annos(rng, n_frames)
-    print(f"synth {n_frames} frames: {time.perf_counter() - t0:.2f} s")
+    gts, dts = synth_annos(rng, n_frames, dt_lo, dt_hi)
+    n_det = sum(len(d["score"]) for d in dts)
+    print(
+        f"synth {n_frames} frames, {n_det / n_frames:.1f} det/frame: "
+        f"{time.perf_counter() - t0:.2f} s"
+    )
     for trial in range(3):
         t0 = time.perf_counter()
         result = get_official_eval_result(
             gts, dts, current_classes=[0]
         )
         dt = time.perf_counter() - t0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
         print(f"trial {trial}: {dt:.2f} s ({dt / n_frames * 1e3:.2f} "
-              "ms/frame)")
+              f"ms/frame), peak RSS {rss:.2f} GB")
     print(result)
 
 

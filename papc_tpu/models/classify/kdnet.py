@@ -6,8 +6,12 @@ levels halving 1024→1 leaf groups with per-level feature widths
 
 Each kdconv: Dense to ``3*featdim`` channels (one feature bank per split
 axis), select the bank matching each position's kd split dimension, then
-max-pool sibling pairs. The select is a ``take_along_axis`` over the
-3-bank axis — batched, static-shape, on-device.
+max-pool sibling pairs. The select is a 3-way masked sum over the bank
+axis — NOT a ``take_along_axis``: a batched gather is the documented
+TPU pathology (minute-long compiles, serialized emitters; CLAUDE.md),
+and with only 3 banks the mask form is 3 fused selects (r5: the
+batched-gather form measured 58.7 ms/step for the whole KDNet train
+step in BENCH zoo rows — the selects were nearly all of it).
 
 Deviation (documented): the reference flattens ``[3, dim]`` and indexes it
 with ``split + 3*arange(dim)`` (``kdnet.py:27-28``) which scrambles
@@ -38,9 +42,13 @@ def kd_select_pool(h: jax.Array, split: jax.Array) -> jax.Array:
       ``[B, dim // 2, F]``.
     """
     B, dim, _, F = h.shape
-    sel = split[:, :, None, None].astype(jnp.int32)  # [B, dim, 1, 1]
-    x = jnp.take_along_axis(h, jnp.broadcast_to(sel, (B, dim, 1, F)), axis=2)
-    x = x[:, :, 0, :].reshape(B, dim // 2, 2, F)
+    sel = split[:, :, None].astype(jnp.int32)  # [B, dim, 1]
+    x = jnp.where(
+        sel == 0,
+        h[:, :, 0, :],
+        jnp.where(sel == 1, h[:, :, 1, :], h[:, :, 2, :]),
+    )
+    x = x.reshape(B, dim // 2, 2, F)
     return jnp.max(x, axis=2)
 
 

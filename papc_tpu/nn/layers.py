@@ -134,26 +134,46 @@ class PointMLP(nn.Module):
     pool_max: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = True,
+                 transposed_k: int | None = None) -> jax.Array:
         from papc_tpu.ops import fused_mlp
 
         feats = tuple(self.features)
+        if transposed_k is not None:
+            # x is channel-sublane [B, C0, S*K] (the sample_and_group_t
+            # layout); the fused path consumes it directly, the classic
+            # fallback (CPU / init / tiny shapes) transposes back
+            assert self.pool_max, "transposed input implies pool_max"
+            use_fused_t = (
+                not self.is_initializing()
+                and fused_mlp.enabled_t(x.shape, transposed_k, feats)
+            )
+            if use_fused_t:
+                params, stats = self._twin_params(x.shape[1], feats)
+                running = tuple(
+                    (rm.value, rv.value) for rm, rv in stats
+                )
+                out, new_running = fused_mlp.fused_mlp_max_t(
+                    x, tuple(params), running, k=transposed_k,
+                    train=train, momentum=BN_MOMENTUM, eps=BN_EPS,
+                    **fused_mlp.call_opts(),
+                )
+                if train:
+                    for (rm, rv), (nm, nv) in zip(stats, new_running):
+                        rm.value = nm
+                        rv.value = nv
+                return out
+            b, c0, mm = x.shape
+            x = x.transpose(0, 2, 1).reshape(
+                b, mm // transposed_k, transposed_k, c0
+            )
         use_fused = (
             self.pool_max
             and not self.is_initializing()
             and fused_mlp.enabled(x.shape, feats)
         )
         if use_fused:
-            # Param-twin modules pick up the SAME subtree the classic
-            # branch creates (child names match), so the two branches
-            # share one param/stats tree and checkpoints round-trip.
-            cins = (x.shape[-1],) + feats[:-1]
-            params, stats = [], []
-            for i, (cin, f) in enumerate(zip(cins, feats)):
-                kernel, dbias = _DenseParams(f, cin, name=f"Dense_{i}")()
-                scale, bbias, rm, rv = _BNParams(f, name=f"BatchNorm_{i}")()
-                params.append((kernel, dbias, scale, bbias))
-                stats.append((rm, rv))
+            params, stats = self._twin_params(x.shape[-1], feats)
             running = tuple((rm.value, rv.value) for rm, rv in stats)
             out, new_running = fused_mlp.fused_mlp_max(
                 x, tuple(params), running, train=train,
@@ -178,6 +198,19 @@ class PointMLP(nn.Module):
             )(x)
             x = nn.relu(x)
         return jnp.max(x, axis=2) if self.pool_max else x
+
+    def _twin_params(self, cin0: int, feats):
+        """Param-twin modules pick up the SAME subtree the classic
+        branch creates (child names match), so every branch shares one
+        param/stats tree and checkpoints round-trip."""
+        cins = (cin0,) + tuple(feats[:-1])
+        params, stats = [], []
+        for i, (cin, f) in enumerate(zip(cins, feats)):
+            kernel, dbias = _DenseParams(f, cin, name=f"Dense_{i}")()
+            scale, bbias, rm, rv = _BNParams(f, name=f"BatchNorm_{i}")()
+            params.append((kernel, dbias, scale, bbias))
+            stats.append((rm, rv))
+        return params, stats
 
 
 class MLPHead(nn.Module):

@@ -60,15 +60,18 @@ def supported(shape, features) -> bool:
 # Test/experiment override: ``with override(enable=True, impl='jnp')``
 # forces the fused path on any backend (layers.PointMLP consults
 # :func:`enabled` / :func:`call_opts`). ``enable=None`` = default gate.
+# ``transposed_group`` gates SetAbstraction's channel-sublane grouping
+# (None = auto: on for TPU; False forces the row path for A/Bs).
 _OVERRIDE = {"enable": None, "impl": "pallas", "interpret": False,
-             "mode": "stream"}
+             "mode": "stream", "transposed_group": None}
 
 
 class override:
     def __init__(self, enable=None, impl="pallas", interpret=False,
-                 mode="stream"):
+                 mode="stream", transposed_group=None):
         self._new = {"enable": enable, "impl": impl,
-                     "interpret": interpret, "mode": mode}
+                     "interpret": interpret, "mode": mode,
+                     "transposed_group": transposed_group}
 
     def __enter__(self):
         self._old = dict(_OVERRIDE)
@@ -100,6 +103,24 @@ def enabled(shape, features) -> bool:
     if _OVERRIDE["enable"] is not None:
         return bool(_OVERRIDE["enable"]) and supported(shape, features)
     return supported(shape, features) and jax.default_backend() == "tpu"
+
+
+def enabled_t(shape, k: int, features) -> bool:
+    """Dispatch gate for the channel-sublane path (``[B, C0, M]``
+    input, ``fused_mlp_max_t``) — same shape conditions as
+    :func:`enabled` expressed on the transposed layout, same override
+    semantics (plus the ``transposed_group`` kill switch)."""
+    if _OVERRIDE["transposed_group"] is False:
+        return False
+    if len(shape) != 3 or len(features) < 1 or k < 1:
+        return False
+    b, c0, mm = shape
+    if mm % k:
+        return False
+    ok = b * mm >= 4096 and k <= 128 and (b * mm // k) % 8 == 0
+    if _OVERRIDE["enable"] is not None:
+        return bool(_OVERRIDE["enable"]) and ok
+    return ok and jax.default_backend() == "tpu"
 
 
 def effective_mode(mode: str, m: int, k: int, c0: int,
@@ -156,8 +177,11 @@ def _dot(x, w, sdtype=_BF16):
     )
 
 
-def _jnp_linear_stats(x, vec, w, b, *, sdtype=_BF16):
+def _jnp_linear_stats(x, vec, w, b, *, sdtype=_BF16,
+                      transposed=False):
     xf = x.astype(_F32)
+    if transposed:
+        xf = xf.T  # [Cin, M] channel-sublane input → row layout
     if vec is not None:
         xf = jnp.maximum(xf * vec[0] + vec[1], 0.0)
     a = _dot(xf, w, sdtype) + b.astype(_F32)
@@ -199,13 +223,15 @@ def _jnp_bwd_seed(a, vec, dout, amax, *, k, sdtype=_BF16):
 
 
 def _jnp_bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *,
-                   sdtype=_BF16):
+                   sdtype=_BF16, transposed=False):
     m = dy.shape[0]
     dyf = dy.astype(_F32)
     af = a.astype(_F32)
     xhat = (af - vec[2]) * vec[3]
     da = vec[0] * (dyf - s_in[0] / m - xhat * s_in[1] / m)
     apf = a_prev.astype(_F32)
+    if transposed:
+        apf = apf.T  # [Cin, M] block input → row layout
     if vec_prev is None:
         h_prev = apf
     else:
@@ -224,7 +250,7 @@ def _jnp_bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *,
         preferred_element_type=_F32,
     )
     if vec_prev is None:
-        return dhp, dw, db, None
+        return (dhp.T if transposed else dhp), dw, db, None
     op = apf * vec_prev[0] + vec_prev[1]
     dyp = jnp.where(op > 0, dhp, 0.0)
     xhatp = (apf - vec_prev[2]) * vec_prev[3]
@@ -236,23 +262,32 @@ def _jnp_bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *,
 
 # ---------------------------------------------------------- orchestration
 
-def _fwd_passes(g2, params, *, k, eps, tm, impl, sdtype, interpret):
+def _fwd_passes(g2, params, *, k, eps, tm, impl, sdtype, interpret,
+                transposed=False):
     """Training forward: linear+stats pass per layer, finalize+max.
 
-    Returns ``(out2 [M//k, C_last] f32, batch (means, vars) per layer,
-    residuals)``.
+    ``transposed``: ``g2`` is the channel-sublane ``[C0, M]`` block
+    input (only the first pass touches it; later layers stay row
+    layout). Returns ``(out2 [M//k, C_last] f32, batch (means, vars)
+    per layer, residuals)``.
     """
-    m = g2.shape[0]
+    m = g2.shape[1] if transposed else g2.shape[0]
     a_list, vec_list, stats = [], [], []
     x = g2
     vec2 = None  # [2, C] (scale, shift) of the previous layer
+    first = True
     for w, b, gamma, beta in params:
+        xt = transposed and first
         if impl == "pallas":
             a, sums = samlp.linear_stats(
-                x, vec2, w, b, tm=tm, sdtype=sdtype, interpret=interpret
+                x, vec2, w, b, tm=tm, sdtype=sdtype, transposed=xt,
+                interpret=interpret,
             )
         else:
-            a, sums = _jnp_linear_stats(x, vec2, w, b, sdtype=sdtype)
+            a, sums = _jnp_linear_stats(
+                x, vec2, w, b, sdtype=sdtype, transposed=xt
+            )
+        first = False
         vec4, (mean, var) = _bn_vectors(sums, gamma, beta, m, eps)
         a_list.append(a)
         vec_list.append(vec4)
@@ -270,10 +305,12 @@ def _fwd_passes(g2, params, *, k, eps, tm, impl, sdtype, interpret):
     return out2, tuple(stats), res
 
 
-def _bwd_passes(res, dout2, *, k, tm, impl, sdtype, interpret):
+def _bwd_passes(res, dout2, *, k, tm, impl, sdtype, interpret,
+                transposed=False):
     """Training backward: seed pass + one pass per layer, walking down.
 
-    Returns ``(dg2 [M, C0] f32, per-layer (dW, db, dgamma, dbeta))``.
+    Returns ``(dg2 [M, C0] f32 — [C0, M] when ``transposed`` — and
+    per-layer (dW, db, dgamma, dbeta))``.
     """
     g2, a_list, vec_list, amax, ws = res
     n = len(a_list)
@@ -290,16 +327,18 @@ def _bwd_passes(res, dout2, *, k, tm, impl, sdtype, interpret):
     for i in range(n - 1, -1, -1):
         a_prev = a_list[i - 1] if i > 0 else g2
         vec_prev = vec_list[i - 1] if i > 0 else None
+        xt = transposed and i == 0
         dgamma, dbeta = s[1], s[0]
         if impl == "pallas":
             dy_prev, dw, db, s_prev = samlp.bwd_layer(
                 dy, a_list[i], a_prev, ws[i], vec_list[i], s,
-                vec_prev, tm=tm, sdtype=sdtype, interpret=interpret,
+                vec_prev, tm=tm, sdtype=sdtype, transposed=xt,
+                interpret=interpret,
             )
         else:
             dy_prev, dw, db, s_prev = _jnp_bwd_layer(
                 dy, a_list[i], a_prev, ws[i], vec_list[i], s, vec_prev,
-                sdtype=sdtype,
+                sdtype=sdtype, transposed=xt,
             )
         grads[i] = (dw, db.reshape(-1), dgamma, dbeta)
         dy, s = dy_prev, s_prev
@@ -308,14 +347,17 @@ def _bwd_passes(res, dout2, *, k, tm, impl, sdtype, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
-               mode="stream"):
+               mode="stream", transposed=False):
     """Build the custom-VJP training core for a static config.
 
     ``mode='stream'``: v1 linear passes over stored bf16 activations.
     ``mode='recompute'``: v2 passes that re-derive the chain from the
     block input each pass (flash-attention-style; far less HBM
-    traffic, ~L x more MXU work).
+    traffic, ~L x more MXU work). ``transposed``: the block input (and
+    its gradient) is channel-sublane ``[C0, M]`` — stream mode only
+    (``fused_mlp_max_t`` demotes recompute).
     """
+    assert not (transposed and mode.startswith("recompute"))
 
     def fwd(g2, params):
         if mode.startswith("recompute"):
@@ -325,7 +367,7 @@ def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
             )
         return _fwd_passes(
             g2, params, k=k, eps=eps, tm=tm, impl=impl, sdtype=sdtype,
-            interpret=interpret,
+            interpret=interpret, transposed=transposed,
         )
 
     def bwd(res, dout2):
@@ -336,7 +378,7 @@ def _make_core(n_layers, k, tm, eps, impl, sdtype, interpret,
             )
         return _bwd_passes(
             res, dout2, k=k, tm=tm, impl=impl, sdtype=sdtype,
-            interpret=interpret,
+            interpret=interpret, transposed=transposed,
         )
 
     @jax.custom_vjp
@@ -445,6 +487,86 @@ def fused_mlp_max(
         for (rm, rv), (mean, var) in zip(running, stats)
     )
     out = out2.reshape(b, s, -1).astype(grouped.dtype)
+    return out, new_running
+
+
+def fused_mlp_max_t(
+    grouped_t: jax.Array,
+    params,
+    running,
+    *,
+    k: int,
+    train: bool,
+    momentum: float = 0.9,
+    eps: float = 1e-5,
+    impl: str = "pallas",
+    interpret: bool = False,
+    sdtype=None,
+    mode: str = "stream",
+):
+    """Channel-sublane twin of :func:`fused_mlp_max`.
+
+    Args:
+      grouped_t: ``[B, C0, S·K]`` neighborhoods in the gather_t layout
+        (C on sublanes — narrow C pads 8 sublanes, not 128 lanes; the
+        layout ``ops.pallas.gather_t.gather_cols`` produces and whose
+        gradient ``scatter_cols_add_pallas`` consumes). Only the first
+        MLP layer touches this layout (its dot contracts C in the
+        MXU-native lhsT form); every later pass is identical to
+        :func:`fused_mlp_max`, so outputs, BN statistics, and parameter
+        gradients match the row path to matmul-rounding.
+      k: neighborhood size (the max-pool group width).
+
+    Returns ``(out [B, S, C_last], new_running)``.
+
+    Recompute modes are row-layout only and demote to ``stream`` here
+    (they exist as A/B alternatives; the transposed path IS the
+    measured winner at the narrow-C stacks this targets).
+    """
+    b, c0, mm = grouped_t.shape
+    m = b * mm
+    if sdtype is None:
+        sdtype = _BF16
+    # [B, C0, M] → [C0, B·M]: the global row order matches the row
+    # path's reshape(b*s*k, c0) — batch-major, then (s, k) — so sums,
+    # max groups, and outputs align element-for-element
+    g2t = (
+        grouped_t.transpose(1, 0, 2).reshape(c0, m).astype(sdtype)
+    )
+    tm = 0
+    if not train:
+        vecs = []
+        for (w, bb, gamma, beta), (mean, var) in zip(params, running):
+            inv_std = lax.rsqrt(var.astype(_F32) + eps)
+            scale = gamma.astype(_F32) * inv_std
+            shift = beta.astype(_F32) - mean.astype(_F32) * scale
+            vecs.append(jnp.stack([scale, shift]))
+        ws = [p[0] for p in params]
+        bs = [p[1] for p in params]
+        if impl == "pallas":
+            out2 = samlp.eval_mlp_max(
+                g2t, vecs, ws, bs, k=k, tm=tm, transposed=True,
+                interpret=interpret,
+            )
+        else:
+            out2 = _jnp_eval_mlp_max(g2t.T, vecs, ws, bs, k=k)
+        out = out2.reshape(b, mm // k, -1).astype(grouped_t.dtype)
+        return out, running
+    if mode.startswith("recompute"):
+        mode = "stream"
+    core = _make_core(
+        len(params), k, tm, float(eps), impl, sdtype, interpret, mode,
+        transposed=True,
+    )
+    out2, stats = core(g2t, tuple(tuple(p) for p in params))
+    new_running = tuple(
+        (
+            momentum * rm + (1.0 - momentum) * lax.stop_gradient(mean),
+            momentum * rv + (1.0 - momentum) * lax.stop_gradient(var),
+        )
+        for (rm, rv), (mean, var) in zip(running, stats)
+    )
+    out = out2.reshape(b, mm // k, -1).astype(grouped_t.dtype)
     return out, new_running
 
 

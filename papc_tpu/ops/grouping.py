@@ -171,6 +171,56 @@ def sample_and_group(
     return new_xyz, new_points
 
 
+def sample_and_group_t(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    points: jax.Array | None,
+    *,
+    key: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Channel-sublane :func:`sample_and_group`: grouped output
+    ``[B, 3+D, npoint·nsample]`` instead of ``[B, npoint, nsample, 3+D]``.
+
+    Same FPS/ball-query/center semantics and identical values (up to the
+    gather kernel's ~2^-25 split-accumulation — see
+    ``ops.pallas.gather_t``); the layout difference is the point: the
+    row layout lane-pads C → 128 (42× HBM for SA1's C=3 grouped xyz and
+    a 42×-padded MXU scatter in its backward — measured 4.88 vs 1.42
+    ms/iter fwd+bwd at the SA1 shape, ``experiments/ab_gather_t.log``),
+    while this layout pads C → 8 sublanes and feeds
+    ``fused_mlp.fused_mlp_max_t`` / ``scatter_cols_add_pallas``
+    directly.
+    """
+    B, N, _ = xyz.shape
+    fps_idx = farthest_point_sample(xyz, npoint, key=key)
+    new_xyz = index_points(xyz, fps_idx)  # [B, npoint, 3] (tiny)
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    from papc_tpu.ops.pallas.gather_t import gather_cols
+
+    if points is not None:
+        combined = jnp.concatenate([xyz, points], axis=-1)
+    else:
+        combined = xyz
+    # the [B, N, C] → [B, C, N] transpose is small (the SOURCE, not the
+    # grouped result: ≤ ~17 MB at SA2 scale) and XLA-fused
+    combined_t = combined.transpose(0, 2, 1)
+    grouped_t = gather_cols(combined_t, idx, interpret=interpret)
+    # center the xyz channels: lane-repeat each center K times so the
+    # subtraction stays in the [B, C, M] layout (a [B,3,S,K]-shaped
+    # broadcast would lane-pad K → 128)
+    centers = jnp.repeat(
+        new_xyz.transpose(0, 2, 1), nsample, axis=2
+    )  # [B, 3, npoint*nsample]
+    if points is not None:
+        grouped_t = grouped_t.at[:, :3, :].add(-centers)
+    else:
+        grouped_t = grouped_t - centers
+    return new_xyz, grouped_t
+
+
 def sample_and_group_all(xyz: jax.Array, points: jax.Array | None):
     """Single group containing every point (global abstraction stage).
 

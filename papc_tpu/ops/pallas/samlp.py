@@ -114,7 +114,8 @@ def pass_tile(m: int, k: int, bytes_per_row: int, *, of_k: bool,
 
 # --------------------------------------------------------------- forward
 
-def _linear_stats_kernel(*refs, pre_affine: bool, sdtype):
+def _linear_stats_kernel(*refs, pre_affine: bool, transposed: bool,
+                         sdtype):
     if pre_affine:
         x_ref, vec_ref, w_ref, b_ref, a_ref, s_ref = refs
     else:
@@ -122,10 +123,20 @@ def _linear_stats_kernel(*refs, pre_affine: bool, sdtype):
     x = x_ref[:].astype(_F32)
     if pre_affine:
         x = jnp.maximum(x * vec_ref[0, :] + vec_ref[1, :], 0.0)
-    a = jnp.dot(
-        x.astype(_BF16), w_ref[:].astype(_BF16),
-        preferred_element_type=_F32,
-    ) + b_ref[0, :]
+    if transposed:
+        # x block is [c0, tm] (channel-sublane block input — the
+        # gather_t layout); contract the sublane dim of BOTH operands:
+        # the MXU's native lhsT·rhs form, no relayout of the tile
+        a = lax.dot_general(
+            x.astype(_BF16), w_ref[:].astype(_BF16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        ) + b_ref[0, :]
+    else:
+        a = jnp.dot(
+            x.astype(_BF16), w_ref[:].astype(_BF16),
+            preferred_element_type=_F32,
+        ) + b_ref[0, :]
     a_ref[:] = a.astype(sdtype)
     s = jnp.concatenate(
         [
@@ -145,15 +156,24 @@ def _linear_stats_kernel(*refs, pre_affine: bool, sdtype):
 
 
 def linear_stats(x, vec, w, b, *, tm: int = 0, sdtype=_BF16,
-                 interpret: bool = False):
+                 transposed: bool = False, interpret: bool = False):
     """One forward layer pass: ``a = relu(x·vec)·W + b`` plus stats.
 
     ``x``: ``[M, Cin]`` bf16 pre-activation of the previous layer (raw
     input when ``vec is None``); ``vec``: ``[2, Cin]`` f32 (scale,
     shift) of the previous BN or None; returns ``(a [M, Cout] bf16,
     sums [2, Cout] f32)`` where sums rows are (Σa, Σa²).
+
+    ``transposed``: ``x`` is ``[Cin, M]`` channel-sublane (the
+    ``gather_t`` layout — narrow C pads 8 sublanes instead of 128
+    lanes; the first-layer dot contracts it in the MXU-native lhsT
+    form). Only the raw block input supports this (``vec is None``).
     """
-    m, cin = x.shape
+    if transposed:
+        assert vec is None, "transposed input is the raw block input"
+        cin, m = x.shape
+    else:
+        m, cin = x.shape
     cout = w.shape[1]
     if not tm:
         # scoped-vmem/row calibrated on chip: 2x-buffered streams
@@ -161,8 +181,12 @@ def linear_stats(x, vec, w, b, *, tm: int = 0, sdtype=_BF16,
         tm = pass_tile(m, 1, 2 * esz * (cin + cout), of_k=False)
     grid = (m // tm,)
     pre_affine = vec is not None
-    in_specs = [pl.BlockSpec((tm, cin), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
+    if transposed:
+        in_specs = [pl.BlockSpec((cin, tm), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        in_specs = [pl.BlockSpec((tm, cin), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
     args = [x]
     if pre_affine:
         in_specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0),
@@ -177,7 +201,8 @@ def linear_stats(x, vec, w, b, *, tm: int = 0, sdtype=_BF16,
     args += [w, b.reshape(1, cout).astype(_F32)]
     return pl.pallas_call(
         functools.partial(
-            _linear_stats_kernel, pre_affine=pre_affine, sdtype=sdtype
+            _linear_stats_kernel, pre_affine=pre_affine,
+            transposed=transposed, sdtype=sdtype,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -239,33 +264,48 @@ def finalize_max(a, vec, *, k: int, tm: int = 0,
     )(a, vec.astype(_F32))
 
 
-def _eval_kernel(*refs, n_layers: int, k: int):
+def _eval_kernel(*refs, n_layers: int, k: int, transposed: bool):
     x_ref = refs[0]
     out_ref = refs[1 + 3 * n_layers]
     x = x_ref[:].astype(_F32)
     for i in range(n_layers):
         vec_ref, w_ref, b_ref = refs[1 + 3 * i: 4 + 3 * i]
-        a = jnp.dot(
-            x.astype(_BF16), w_ref[:].astype(_BF16),
-            preferred_element_type=_F32,
-        ) + b_ref[0, :]
+        if i == 0 and transposed:
+            a = lax.dot_general(
+                x.astype(_BF16), w_ref[:].astype(_BF16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            ) + b_ref[0, :]
+        else:
+            a = jnp.dot(
+                x.astype(_BF16), w_ref[:].astype(_BF16),
+                preferred_element_type=_F32,
+            ) + b_ref[0, :]
         x = jnp.maximum(a * vec_ref[0, :] + vec_ref[1, :], 0.0)
     tm = x.shape[0]
     out_ref[:] = jnp.max(x.reshape(tm // k, k, x.shape[1]), axis=1)
 
 
 def eval_mlp_max(x, vecs, ws, bs, *, k: int, tm: int = 0,
-                 interpret: bool = False):
+                 transposed: bool = False, interpret: bool = False):
     """Whole eval-mode stack + max in ONE pass (running-stat BNs are
-    constant affines): ``[M, C0]`` bf16 → ``[M//k, C_last]`` f32."""
-    m, c0 = x.shape
+    constant affines): ``[M, C0]`` bf16 → ``[M//k, C_last]`` f32.
+    ``transposed``: ``x`` is ``[C0, M]`` channel-sublane."""
+    if transposed:
+        c0, m = x.shape
+    else:
+        m, c0 = x.shape
     n = len(ws)
     if not tm:
         cmax = max(w.shape[1] for w in ws)
         tm = pass_tile(m, k, 4 * c0 + 12 * cmax, of_k=True)
     grid = (m // tm,)
-    in_specs = [pl.BlockSpec((tm, c0), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
+    if transposed:
+        in_specs = [pl.BlockSpec((c0, tm), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        in_specs = [pl.BlockSpec((tm, c0), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
     args = [x]
     for vec, w, b in zip(vecs, ws, bs):
         cin, cout = w.shape
@@ -280,7 +320,9 @@ def eval_mlp_max(x, vecs, ws, bs, *, k: int, tm: int = 0,
         args += [vec.astype(_F32), w, b.reshape(1, cout).astype(_F32)]
     c_last = ws[-1].shape[1]
     return pl.pallas_call(
-        functools.partial(_eval_kernel, n_layers=n, k=k),
+        functools.partial(
+            _eval_kernel, n_layers=n, k=k, transposed=transposed
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm // k, c_last), lambda i: (i, 0),
@@ -361,7 +403,8 @@ def bwd_seed(a, vec, dout, amax, *, k: int, tm: int = 0, sdtype=_BF16,
 
 
 def _bwd_layer_kernel(dy_ref, a_ref, ap_ref, w_ref, vec_ref, s_in_ref,
-                      *rest, first_layer: bool, m_total: float, sdtype):
+                      *rest, first_layer: bool, transposed: bool,
+                      m_total: float, sdtype):
     if first_layer:
         dg_ref, dw_ref, db_ref = rest
     else:
@@ -379,11 +422,20 @@ def _bwd_layer_kernel(dy_ref, a_ref, ap_ref, w_ref, vec_ref, s_in_ref,
     else:
         h_prev = jnp.maximum(ap * vecp_ref[0, :] + vecp_ref[1, :], 0.0)
     # dW = h_prevᵀ · da  (contract rows), accumulated over grid steps
-    dw = lax.dot_general(
-        h_prev.astype(_BF16), dab,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    )
+    if transposed:
+        # h_prev block is [cin, tm] channel-sublane: contract its LANE
+        # dim against da's rows — the standard a@b form, no relayout
+        dw = lax.dot_general(
+            h_prev.astype(_BF16), dab,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+    else:
+        dw = lax.dot_general(
+            h_prev.astype(_BF16), dab,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        )
     db = jnp.sum(da, axis=0, keepdims=True)
 
     @pl.when(pl.program_id(0) == 0)
@@ -395,6 +447,17 @@ def _bwd_layer_kernel(dy_ref, a_ref, ap_ref, w_ref, vec_ref, s_in_ref,
     def _():
         dw_ref[:] = dw_ref[:] + dw
         db_ref[:] = db_ref[:] + db
+
+    if first_layer and transposed:
+        # dg in channel-sublane layout: [cin, tm] = W · daᵀ (contract
+        # the Cout lanes of both) — the block-input gradient then feeds
+        # scatter_cols_add_pallas without ever living lane-padded
+        dg_ref[:] = lax.dot_general(
+            w_ref[:].astype(_BF16), dab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+        return
 
     # dh_prev = da · Wᵀ (contract the Cout axis of both)
     dhp = lax.dot_general(
@@ -427,7 +490,8 @@ def _bwd_layer_kernel(dy_ref, a_ref, ap_ref, w_ref, vec_ref, s_in_ref,
 
 
 def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
-              sdtype=_BF16, interpret: bool = False):
+              sdtype=_BF16, transposed: bool = False,
+              interpret: bool = False):
     """One backward layer pass.
 
     Applies the analytic BatchNorm backward for this layer (``da``),
@@ -437,11 +501,19 @@ def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
     first layer: ``a_prev`` is the raw block input and the pass emits
     ``dg`` (f32) with no sums.
 
+    ``transposed`` (first layer only): ``a_prev`` is the channel-sublane
+    ``[Cin, M]`` block input and ``dg`` comes back ``[Cin, M]`` — the
+    gather_t layout, so narrow-C inputs never materialize lane-padded.
+
     Returns ``(dy_prev|dg, dw [Cin,Cout] f32, db [1,Cout] f32,
     s_prev [2,Cin] f32 | None)``.
     """
     m, cout = dy.shape
-    cin = a_prev.shape[1]
+    if transposed:
+        assert vec_prev is None, "transposed applies to the first layer"
+        cin = a_prev.shape[0]
+    else:
+        cin = a_prev.shape[1]
     if not tm:
         # 16*cin covers the first-layer variant's f32 dg output block
         # (surrounding-program context can also eat scoped headroom —
@@ -450,13 +522,19 @@ def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
         tm = pass_tile(m, 1, 12 * cout + 16 * cin, of_k=False)
     grid = (m // tm,)
     first = vec_prev is None
+    ap_spec = (
+        pl.BlockSpec((cin, tm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+        if transposed
+        else pl.BlockSpec((tm, cin), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    )
     in_specs = [
         pl.BlockSpec((tm, cout), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tm, cout), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, cin), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        ap_spec,
         pl.BlockSpec((cin, cout), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4, cout), lambda i: (0, 0),
@@ -474,6 +552,10 @@ def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
         out_specs.append(pl.BlockSpec((tm, cin), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((m, cin), sdtype))
+    elif transposed:
+        out_specs.append(pl.BlockSpec((cin, tm), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((cin, m), _F32))
     else:
         out_specs.append(pl.BlockSpec((tm, cin), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -495,8 +577,8 @@ def bwd_layer(dy, a, a_prev, w, vec, s_in, vec_prev, *, tm: int = 0,
     m_total = float(m)
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_layer_kernel, first_layer=first, m_total=m_total,
-            sdtype=sdtype,
+            _bwd_layer_kernel, first_layer=first, transposed=transposed,
+            m_total=m_total, sdtype=sdtype,
         ),
         grid=grid,
         in_specs=in_specs,

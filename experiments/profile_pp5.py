@@ -85,6 +85,7 @@ def main():
         box_code_size=model.box_code_size,
         s2d_input=use_s2d,
         deferred_upsample=model.rpn_deferred_upsample,
+        batch_fold=model.rpn_batch_fold,
     )
 
     def make_apply(upto, prec):

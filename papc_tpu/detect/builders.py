@@ -184,6 +184,7 @@ def build_network(cfg, voxel_generator, target_assigner) -> PointPillars:
         rpn_deferred_upsample=bool(
             model_cfg.get("RPN_DEFERRED_UPS", True)
         ),
+        rpn_batch_fold=bool(model_cfg.get("RPN_BATCH_FOLD", True)),
     )
 
 

@@ -253,6 +253,18 @@ class PointPillarsScatter(nn.Module):
         )
 
 
+def _kron_eye_kernel(k: jax.Array, b: int) -> jax.Array:
+    """Block-diagonal expansion of a conv kernel ``[kh, kw, Ci, Co]`` →
+    ``[kh, kw, b*Ci, b*Co]`` so a batch-folded map ``[1, H, W, b*Ci]``
+    (batch stacked on channels) convolves each fold group independently
+    — exactly ``b`` parallel copies of the original conv. Autodiff of
+    the expansion sums the diagonal blocks, i.e. the true kernel grad."""
+    kh, kw, ci, co = k.shape
+    e = jnp.eye(b, dtype=k.dtype)
+    kf = k[:, :, None, :, None, :] * e[None, None, :, None, :, None]
+    return kf.reshape(kh, kw, b * ci, b * co)
+
+
 class _ConvBlock(nn.Module):
     """Stride conv + n same-padding convs, each Conv(no bias)→BN→ReLU.
 
@@ -261,7 +273,19 @@ class _ConvBlock(nn.Module):
     opening stride-2 3x3 conv as its stride-1 2x2 VALID twin
     (:mod:`papc_tpu.ops.s2d` — the strided backward is a measured 1.7x
     pathology on TPU). The param tree keeps the reference-shaped
-    ``[3, 3, C, O]`` kernel either way."""
+    ``[3, 3, C, O]`` kernel either way.
+
+    ``batch_fold=True`` runs the post-opening Conv→BN→ReLU chain on the
+    batch-FOLDED map ``[1, H, W, B*F]`` (batch stacked on channels, via
+    :func:`_kron_eye_kernel` block-diagonal kernels and fold-pooled BN
+    stats). For F < 128 the minor axis of every activation otherwise
+    lane-pads F→128, so half of each (8, 128) tile — and half the HBM
+    traffic of the whole chain, fwd and bwd — is padding; the fold
+    trades that for (half-zero) extra MXU work on an op that measures
+    byte-bound (profile_conv64: 64-ch SAME conv fwd+bwd equal f32 vs
+    bf16 at ~0.57 ms). Exact math; same param tree (twin modules);
+    zero-padding the channels instead was measured to LOSE
+    (profile_conv64 csp/cpp) because it leaves the tile count alone."""
 
     filters: int
     n_layers: int
@@ -270,6 +294,7 @@ class _ConvBlock(nn.Module):
     use_groupnorm: bool = False
     num_groups: int = 32
     s2d_input: bool = False
+    batch_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -308,6 +333,14 @@ class _ConvBlock(nn.Module):
                 padding=((1, 1), (1, 1)), use_bias=not self.use_norm,
                 name="Conv_0",
             )(x)
+        fold = (
+            self.batch_fold
+            and self.use_norm
+            and not self.use_groupnorm
+            and x.shape[0] > 1
+        )
+        if fold:
+            return self._folded_tail(x, train)
         x = nn.relu(bn(x))
         for i in range(self.n_layers):
             x = nn.Conv(
@@ -316,6 +349,55 @@ class _ConvBlock(nn.Module):
             )(x)
             x = nn.relu(bn(x))
         return x
+
+    def _folded_tail(self, x, train):
+        """BN_0→ReLU + the n same-padding Conv→BN→ReLU layers on the
+        batch-folded ``[1, H, W, B*F]`` map (see class docstring).
+        Exact: block-diagonal kernels, BN stats pooled across the fold
+        groups per logical channel (the same element set flax reduces),
+        shared Conv_i/BatchNorm_i param tree via the twin modules."""
+        from papc_tpu.nn.layers import _BNParams, _Conv2dParams
+
+        b, h, w, f = x.shape
+        xf = x.transpose(1, 2, 0, 3).reshape(1, h, w, b * f)
+
+        def fbn_relu(z, i):
+            scale, bias, rm, rv = _BNParams(f, name=f"BatchNorm_{i}")()
+            zf = z.astype(jnp.float32).reshape(h, w, b, f)
+            mean_b = jnp.mean(zf, (0, 1, 2))
+            var_b = jnp.mean(jnp.square(zf), (0, 1, 2)) - jnp.square(
+                mean_b
+            )
+            if train:
+                mean, var = mean_b, var_b
+                if not self.is_initializing():
+                    m = PFN_BN["momentum"]
+                    rm.value = m * rm.value + (1 - m) * mean
+                    rv.value = m * rv.value + (1 - m) * var
+            else:
+                mean, var = rm.value, rv.value
+            inv = jax.lax.rsqrt(
+                var + PFN_BN["epsilon"]
+            ) * scale.astype(jnp.float32)
+            mt = jnp.tile(mean.astype(z.dtype), b)
+            it = jnp.tile(inv.astype(z.dtype), b)
+            bt = jnp.tile(bias.astype(z.dtype), b)
+            return nn.relu((z - mt) * it + bt)
+
+        xf = fbn_relu(xf, 0)
+        for i in range(self.n_layers):
+            kernel, _ = _Conv2dParams(
+                self.filters, f, use_bias=False, name=f"Conv_{i + 1}"
+            )()
+            xf = jax.lax.conv_general_dilated(
+                xf,
+                _kron_eye_kernel(kernel.astype(xf.dtype), b),
+                (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            xf = fbn_relu(xf, i + 1)
+        return xf.reshape(h, w, b, f).transpose(2, 0, 1, 3)
 
 
 class RPN(nn.Module):
@@ -341,6 +423,8 @@ class RPN(nn.Module):
     # upsample via coarse-res 1x1 convs + depth-to-space of the tiny
     # head maps (exact; see the deferred-upsampling comment below)
     deferred_upsample: bool = False
+    # run narrow (< 128-ch) conv blocks batch-folded (see _ConvBlock)
+    batch_fold: bool = False
 
     @nn.compact
     def __call__(self, x, bev=None, train: bool = True):
@@ -382,6 +466,8 @@ class RPN(nn.Module):
                 self.use_groupnorm,
                 self.num_groups,
                 s2d_input=self.s2d_input and i == 0,
+                batch_fold=self.batch_fold
+                and self.num_filters[i] < 128,
             )(x, train)
             if i == 0 and self.use_bev and bev is not None:
                 b = bev
@@ -545,6 +631,8 @@ class PointPillars(nn.Module):
     max_points_per_pillar: int = 100
     # RPN deferred upsampling (exact; see RPN.deferred_upsample)
     rpn_deferred_upsample: bool = False
+    # batch-fold narrow RPN conv blocks (exact; see _ConvBlock)
+    rpn_batch_fold: bool = False
 
     @nn.compact
     def __call__(
@@ -600,5 +688,6 @@ class PointPillars(nn.Module):
             box_code_size=self.box_code_size,
             s2d_input=use_s2d,
             deferred_upsample=self.rpn_deferred_upsample,
+            batch_fold=self.rpn_batch_fold,
             name="rpn",
         )(spatial, train=train)

@@ -204,3 +204,90 @@ def test_rpn_deferred_upsample_matches_classic():
         assert float(np.max(np.abs(a - b) / denom)) < 2e-2, (
             jax.tree_util.keystr(pa)
         )
+
+
+def test_rpn_batch_fold_matches_classic():
+    """RPN(batch_fold=True): the narrow (64-ch) conv block's
+    batch-folded [1, H, W, B*F] chain (block-diagonal kernels +
+    fold-pooled BN stats) reproduces the classic per-sample path
+    exactly — outputs, running stats, and param grads — on the SAME
+    param tree."""
+    from papc_tpu.detect.model import RPN
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 24, 32).astype(np.float32))
+    classic_m = RPN(num_class=1, num_filters=(64, 128, 256),
+                    batch_fold=False)
+    fold_m = RPN(num_class=1, num_filters=(64, 128, 256),
+                 batch_fold=True)
+    variables = classic_m.init(KEY, x, train=False)
+    v2 = fold_m.init(KEY, x, train=False)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables),
+        jax.tree_util.tree_leaves_with_path(v2),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        assert a.shape == b.shape, jax.tree_util.keystr(pa)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for train in (True, False):
+        out_c, mut_c = classic_m.apply(
+            variables, x, train=train, mutable=["batch_stats"]
+        )
+        out_f, mut_f = fold_m.apply(
+            variables, x, train=train, mutable=["batch_stats"]
+        )
+        for k in out_c:
+            np.testing.assert_allclose(
+                np.asarray(out_f[k]), np.asarray(out_c[k]),
+                rtol=2e-4, atol=5e-5, err_msg=f"{k} train={train}",
+            )
+        if train:
+            for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(
+                    mut_c["batch_stats"]
+                ),
+                jax.tree_util.tree_leaves_with_path(
+                    mut_f["batch_stats"]
+                ),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=2e-4,
+                    atol=5e-5, err_msg=jax.tree_util.keystr(pa),
+                )
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {
+                "params": params,
+                "batch_stats": variables["batch_stats"],
+            },
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(jnp.square(v)) for v in out.values())
+
+    g_c = jax.grad(lambda p: loss(classic_m, p))(variables["params"])
+    g_f = jax.grad(lambda p: loss(fold_m, p))(variables["params"])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_c),
+        jax.tree_util.tree_leaves_with_path(g_f),
+    ):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(a) + 1e-2 * np.max(np.abs(a)) + 1e-12
+        assert float(np.max(np.abs(a - b) / denom)) < 2e-2, (
+            jax.tree_util.keystr(pa)
+        )
+
+
+def test_rpn_batch_fold_single_sample_noop():
+    """B=1 batches bypass the fold (nothing to fold) and still work."""
+    from papc_tpu.detect.model import RPN
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 16, 24, 32).astype(np.float32))
+    m = RPN(num_class=1, batch_fold=True)
+    variables = m.init(KEY, x, train=False)
+    out, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["box_preds"].shape[0] == 1

@@ -42,7 +42,11 @@ def main():
     log(f"model: scatter_s2d={model.scatter_s2d} pfn_flat={model.pfn_flat}")
     log(f"batch keys: {sorted(batch)}")
 
-    step, init_rm = make_detection_train_step(model, loss_cfg)
+    prec = os.environ.get("CA_PRECISION", "fp32")
+    log(f"precision: {prec}")
+    step, init_rm = make_detection_train_step(
+        model, loss_cfg, precision=prec
+    )
     lowered = jax.jit(step.impl, donate_argnums=(0,)).lower(
         state, batch, init_rm()
     )

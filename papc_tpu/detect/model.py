@@ -27,6 +27,20 @@ from papc_tpu.ops.voxelize import (
 
 PFN_BN = dict(momentum=0.01, epsilon=1e-3)
 
+# flax BatchNorm(dtype=None) PROMOTES its output to f32 (running stats
+# are f32), so under bf16 compute every classic BN re-inflated the
+# activation stream — and every conv downstream of it — back to f32
+# traffic (cost_analysis r5: 2.8 GB of f32[.,.,.,128] in ConvBlock_1
+# alone). dtype=x.dtype keeps the normalize output in the compute
+# dtype; stats/running averages stay f32 either way (flax computes
+# them in f32 unconditionally). Module-level so ab_bn_dtype.py can A/B
+# the two behaviors in one process. No effect in f32 mode.
+BN_DTYPE_FOLLOWS_INPUT = True
+
+
+def _bn_dtype(x):
+    return x.dtype if BN_DTYPE_FOLLOWS_INPUT else None
+
 
 class PFNLayer(nn.Module):
     """Linear(no bias)→BN→ReLU→max over points; non-final layers concat
@@ -90,7 +104,7 @@ class PFNLayer(nn.Module):
         if self.use_norm:
             x = nn.BatchNorm(
                 use_running_average=not train, name="BatchNorm_0",
-                **PFN_BN,
+                dtype=_bn_dtype(x), **PFN_BN,
             )(x)
         x = nn.relu(x)
         x_max = jnp.max(x, axis=2, keepdims=True)  # [B, V, 1, units]
@@ -306,7 +320,8 @@ class _ConvBlock(nn.Module):
                 )(h)
             elif self.use_norm:
                 h = nn.BatchNorm(
-                    use_running_average=not train, **PFN_BN
+                    use_running_average=not train,
+                    dtype=_bn_dtype(h), **PFN_BN,
                 )(h)
             return h
 
@@ -436,7 +451,8 @@ class RPN(nn.Module):
                 )(h)
             elif self.use_norm:
                 h = nn.BatchNorm(
-                    use_running_average=not train, **PFN_BN
+                    use_running_average=not train,
+                    dtype=_bn_dtype(h), **PFN_BN,
                 )(h)
             return h
 

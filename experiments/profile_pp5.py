@@ -47,7 +47,12 @@ def main():
     from papc_tpu.utils.timing import fetch_forced_time
 
     precs = sys.argv[1:] or ["bf16", "fp32"]
-    log(f"devices: {jax.devices()} precs={precs}")
+    # PP5_STAGES=pfn,scat,net isolates risky compiles one per process
+    # (the relay degrades when a process dies mid-compile — CLAUDE.md)
+    stages = tuple(
+        os.environ.get("PP5_STAGES", "pfn,scat,net,loss,step").split(",")
+    )
+    log(f"devices: {jax.devices()} precs={precs} stages={stages}")
     fx = bench._pointpillars_fixture()
     model, loss_cfg, batch = fx["model"], fx["loss_cfg"], fx["batch"]
     state = fx["state"]
@@ -130,7 +135,10 @@ def main():
                 return sum(
                     v.astype(jnp.float32).sum() for v in preds.values()
                 )
-            loss, _ = compute_loss(preds, batch, loss_cfg)
+            loss, _ = compute_loss(
+                preds, batch["labels"], batch["reg_targets"],
+                batch["anchors"], loss_cfg,
+            )
             return loss.astype(jnp.float32)
 
         return f
@@ -138,6 +146,8 @@ def main():
     PROGS = {}
     for prec in precs:
         for upto in ("pfn", "scat", "net", "loss"):
+            if upto not in stages:
+                continue
             f = make_apply(upto, prec)
 
             def body(c, i, _f=f):
@@ -145,8 +155,14 @@ def main():
                     (state.params["pfn"], state.params["rpn"]),
                     jnp.zeros((), jnp.float32) + 1e-30 * c,
                 )
-                leaf = jax.tree_util.tree_leaves(g)[0]
-                return c + 1e-12 * leaf.astype(jnp.float32).sum()
+                # consume EVERY grad leaf — consuming only leaves[0]
+                # lets XLA prune all other wgrad matmuls (first run of
+                # this profile understated the backward by ~4 ms)
+                acc = sum(
+                    leaf.astype(jnp.float32).sum()
+                    for leaf in jax.tree_util.tree_leaves(g)
+                )
+                return c + 1e-12 * acc
 
             name = f"{upto}_{prec}"
             progs = {}
@@ -159,15 +175,16 @@ def main():
                 progs[k] = jax.jit(run, donate_argnums=(0,))
             PROGS[name] = ("scalar", progs)
 
-        scan_step = make_scan_detection_train_step(
-            model, loss_cfg, precision=prec
-        )
-        from papc_tpu.detect.train import make_detection_train_step
+        if "step" in stages:
+            scan_step = make_scan_detection_train_step(
+                model, loss_cfg, precision=prec
+            )
+            from papc_tpu.detect.train import make_detection_train_step
 
-        _, init_rm = make_detection_train_step(
-            model, loss_cfg, precision=prec
-        )
-        PROGS[f"step_{prec}"] = ("step", (scan_step, init_rm))
+            _, init_rm = make_detection_train_step(
+                model, loss_cfg, precision=prec
+            )
+            PROGS[f"step_{prec}"] = ("step", (scan_step, init_rm))
 
     compiled = {}
     for name, (kind, progs) in PROGS.items():

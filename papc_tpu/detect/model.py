@@ -27,6 +27,17 @@ from papc_tpu.ops.voxelize import (
 
 PFN_BN = dict(momentum=0.01, epsilon=1e-3)
 
+# Deferred-upsample internal layout (see RPN): True runs the deconv→
+# BN→ReLU→head segment on flattened-minor [b, h, w, s²·F] tensors —
+# one aligned matmul per stage — instead of 6-D [b, h, w, p, q, F]
+# maps whose tiny q sublane dim (2 or 4) tile-pads to 8. MEASURED
+# LOSS on the composed scanned step (experiments/ab_flatminor.log,
+# interleaved k-slope, BN-stats fix riding both arms): flat 16.34 /
+# six 15.55 ms bf16, flat 20.28 / six 19.75 f32 — the block-diagonal
+# head matmul + tiled-BN broadcasts cost more than the 6-D padding
+# saves. Kept parity-tested (tests/test_s2d.py) as the record.
+DEFERRED_FLAT_MINOR = False
+
 # flax BatchNorm(dtype=None) PROMOTES its output to f32 (running stats
 # are f32), so under bf16 compute every classic BN re-inflated the
 # activation stream — and every conv downstream of it — back to f32
@@ -378,11 +389,17 @@ class _ConvBlock(nn.Module):
 
         def fbn_relu(z, i):
             scale, bias, rm, rv = _BNParams(f, name=f"BatchNorm_{i}")()
-            zf = z.astype(jnp.float32).reshape(h, w, b, f)
-            mean_b = jnp.mean(zf, (0, 1, 2))
-            var_b = jnp.mean(jnp.square(zf), (0, 1, 2)) - jnp.square(
-                mean_b
-            )
+            # per-(b·f)-channel moments over the NATIVE [1, h, w, b*f]
+            # layout, then pool the b fold groups on the tiny [b, f]
+            # tail — reshaping the map to [h, w, b, f] first splits the
+            # lane axis (128 → 2×64) and forces a full f32 relayout of
+            # every BN input, fwd and bwd (~110 MB/pass at the KITTI
+            # shape). Equal-count groups make the pooled moments exact.
+            zf = z.astype(jnp.float32)
+            s1 = jnp.mean(zf, (0, 1, 2))  # [b*f]
+            s2 = jnp.mean(jnp.square(zf), (0, 1, 2))  # [b*f]
+            mean_b = jnp.mean(s1.reshape(b, f), 0)
+            var_b = jnp.mean(s2.reshape(b, f), 0) - jnp.square(mean_b)
             if train:
                 mean, var = mean_b, var_b
                 if not self.is_initializing():
@@ -510,21 +527,35 @@ class RPN(nn.Module):
                 # z[b,h,w,p,q,o] = Σ_c x[b,h,w,c] k[s-1-p,s-1-q,c,o] —
                 # the pre-depth-to-space deconv output
                 # (lax.conv_transpose applies the kernel mirrored)
-                z = jnp.einsum(
-                    "bhwc,pqco->bhwpqo",
-                    x,
-                    kt[::-1, ::-1].astype(x.dtype),
-                )
+                km = kt[::-1, ::-1].astype(x.dtype)  # [s, s, c, f_up]
+                if DEFERRED_FLAT_MINOR:
+                    # flattened-minor [b, h, w, (p, q, o)]: one aligned
+                    # matmul; the 6-D form's q sublane dim (2 or 4)
+                    # tile-pads to 8 on every buffer (see toggle doc)
+                    w2 = km.transpose(2, 0, 1, 3).reshape(
+                        x.shape[-1], s * s * f_up
+                    )
+                    z = jnp.einsum("bhwc,cj->bhwj", x, w2)
+                else:
+                    z = jnp.einsum("bhwc,pqco->bhwpqo", x, km)
                 scale, bbias, rm, rv = _BNParams(
                     f_up, name=f"BatchNorm_{i}"
                 )()
                 if train:
+                    # per-channel moments over the leading axes in the
+                    # NATIVE layout, then pool the s² phase groups on
+                    # the tiny [s², f_up] tail (reshape(-1, f_up) first
+                    # would split the lane axis and relayout the whole
+                    # f32 buffer). Equal-count groups → pooling exact.
                     zf = z.astype(jnp.float32)
-                    axes = tuple(range(z.ndim - 1))
-                    mean = jnp.mean(zf, axes)
-                    var = jnp.mean(jnp.square(zf), axes) - jnp.square(
-                        mean
-                    )
+                    axes = tuple(range(zf.ndim - 1))
+                    s1 = jnp.mean(zf, axes)
+                    s2 = jnp.mean(jnp.square(zf), axes)
+                    if s1.shape[0] != f_up:  # flat-minor: [s²·f_up]
+                        s1 = jnp.mean(s1.reshape(-1, f_up), 0)
+                        s2 = jnp.mean(s2.reshape(-1, f_up), 0)
+                    mean = s1
+                    var = s2 - jnp.square(mean)
                     if not self.is_initializing():
                         m = PFN_BN["momentum"]
                         rm.value = m * rm.value + (1 - m) * mean
@@ -535,11 +566,14 @@ class RPN(nn.Module):
                     jax.lax.rsqrt(var + PFN_BN["epsilon"])
                     * scale.astype(jnp.float32)
                 )
-                act = nn.relu(
-                    (z - mean.astype(z.dtype))
-                    * inv.astype(z.dtype)
-                    + bbias.astype(z.dtype)
-                )
+                mean_c = mean.astype(z.dtype)
+                inv_c = inv.astype(z.dtype)
+                bias_c = bbias.astype(z.dtype)
+                if DEFERRED_FLAT_MINOR and s > 1:
+                    mean_c = jnp.tile(mean_c, s * s)
+                    inv_c = jnp.tile(inv_c, s * s)
+                    bias_c = jnp.tile(bias_c, s * s)
+                act = nn.relu((z - mean_c) * inv_c + bias_c)
                 acts.append((act, s))
             else:
                 up = nn.ConvTranspose(
@@ -589,12 +623,27 @@ class RPN(nn.Module):
             # maps and sum
             h = None
             off = 0
-            for act, s in acts:
-                f_up = act.shape[-1]
+            for idx, (act, s) in enumerate(acts):
+                f_up = self.num_upsample_filters[idx]
                 wi = w[off : off + f_up].astype(act.dtype)
                 off += f_up
-                y = jnp.einsum("bhwpqo,of->bhwpqf", act, wi)
-                B_, hh, ww, _, _, O_ = y.shape
+                if DEFERRED_FLAT_MINOR:
+                    # block-diagonal head over the s² phase groups:
+                    # ONE aligned [s²·f_up → s²·O] matmul on the
+                    # flattened-minor act (the s²× zero blocks are
+                    # ~0.05 ms of MXU work; the 6-D einsum's padded
+                    # y buffers cost more in bytes)
+                    O_ = wi.shape[-1]
+                    e = jnp.eye(s * s, dtype=wi.dtype)
+                    wbd = (
+                        e[:, None, :, None] * wi[None, :, None, :]
+                    ).reshape(s * s * f_up, s * s * O_)
+                    y = jnp.einsum("bhwj,jk->bhwk", act, wbd)
+                    B_, hh, ww, _ = y.shape
+                    y = y.reshape(B_, hh, ww, s, s, O_)
+                else:
+                    y = jnp.einsum("bhwpqo,of->bhwpqf", act, wi)
+                    B_, hh, ww, _, _, O_ = y.shape
                 y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
                     B_, hh * s, ww * s, O_
                 )

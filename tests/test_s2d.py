@@ -206,6 +206,71 @@ def test_rpn_deferred_upsample_matches_classic():
         )
 
 
+def test_rpn_deferred_flat_minor_matches_6d():
+    """The flattened-minor deferred layout ([b, h, w, s²·F] matmuls +
+    tiled BN params + block-diagonal heads) reproduces the 6-D
+    [b, h, w, p, q, F] deferred path — outputs, running stats, and
+    param grads — on the same param tree."""
+    import papc_tpu.detect.model as M
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 24, 32).astype(np.float32))
+    m = M.RPN(num_class=1, deferred_upsample=True)
+    old = M.DEFERRED_FLAT_MINOR
+    try:
+        M.DEFERRED_FLAT_MINOR = False
+        variables = m.init(KEY, x, train=False)
+
+        def run(train):
+            out, mut = m.apply(
+                variables, x, train=train, mutable=["batch_stats"]
+            )
+            g = jax.grad(
+                lambda p: sum(
+                    jnp.sum(jnp.square(v))
+                    for v in m.apply(
+                        {
+                            "params": p,
+                            "batch_stats": variables["batch_stats"],
+                        },
+                        x,
+                        train=True,
+                        mutable=["batch_stats"],
+                    )[0].values()
+                )
+            )(variables["params"])
+            return out, mut["batch_stats"], g
+
+        ref = run(True), run(False)
+        M.DEFERRED_FLAT_MINOR = True
+        got = run(True), run(False)
+    finally:
+        M.DEFERRED_FLAT_MINOR = old
+
+    for (out_a, bs_a, g_a), (out_b, bs_b, g_b) in zip(ref, got):
+        for k in out_a:
+            np.testing.assert_allclose(
+                np.asarray(out_b[k]), np.asarray(out_a[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                {"bs": bs_a, "g": g_a}
+            ),
+            jax.tree_util.tree_leaves_with_path(
+                {"bs": bs_b, "g": g_b}
+            ),
+        ):
+            # reduction order differs (one fused dot vs per-phase
+            # dots) — compare with a max-scaled relative denominator
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            denom = np.abs(a) + 1e-2 * np.max(np.abs(a)) + 1e-12
+            assert float(np.max(np.abs(a - b) / denom)) < 2e-3, (
+                jax.tree_util.keystr(pa)
+            )
+
+
 def test_rpn_batch_fold_matches_classic():
     """RPN(batch_fold=True): the narrow (64-ch) conv block's
     batch-folded [1, H, W, B*F] chain (block-diagonal kernels +

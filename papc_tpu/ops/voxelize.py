@@ -120,8 +120,13 @@ def scatter_to_bev(
     valid = coords[:, 0] >= 0
     linear = jnp.where(valid, coords[:, 1] * nx + coords[:, 2], ny * nx)
     canvas = jnp.zeros((ny * nx + 1, C), features.dtype)
+    # rows are unique by construction (one voxel per cell); dump-row
+    # duplicates all write 0.0 so any pick is exact — the promise lets
+    # XLA skip the duplicate-write serialization (2.9x, ab_scat5)
     canvas = canvas.at[linear].set(
-        jnp.where(valid[:, None], features, 0.0)
+        jnp.where(valid[:, None], features, 0.0),
+        mode="drop",
+        unique_indices=True,
     )
     return canvas[: ny * nx].reshape(ny, nx, C)
 
@@ -154,8 +159,12 @@ def scatter_to_bev_batched(
         valid, base + coords[:, :, 1] * nx + coords[:, :, 2], B * cells
     ).reshape(B * V)
     canvas = jnp.zeros((B * cells + 1, C), features.dtype)
+    # unique rows + all-0.0 dump writes (see scatter_to_bev) — exact,
+    # and 2.9x faster than the unpromised scatter (ab_scat5)
     canvas = canvas.at[rows].set(
-        jnp.where(valid[..., None], features, 0.0).reshape(B * V, C)
+        jnp.where(valid[..., None], features, 0.0).reshape(B * V, C),
+        mode="drop",
+        unique_indices=True,
     )
     return canvas[: B * cells].reshape(B, ny, nx, C)
 
@@ -192,8 +201,50 @@ def scatter_to_bev_s2d(
         base + ((yp // 2) * px + xp // 2) * 4 + phase,
         B * cells,
     ).reshape(B * V)
-    canvas = jnp.zeros((B * cells + 1, C), features.dtype)
-    canvas = canvas.at[rows].set(
-        jnp.where(valid[..., None], features, 0.0).reshape(B * V, C)
+    return _scatter_rows_canvas(
+        features, valid, rows, B * cells, py, px, 4 * C
     )
-    return canvas[: B * cells].reshape(B, py, px, 4 * C)
+
+
+# How the flat indexed-set canvas write lowers (A/B'd on the composed
+# PointPillars step, experiments/ab_scat5*.log):
+#   "set"  — plain ``.at[rows].set`` (XLA scatter)
+#   "uniq" — same + ``mode="drop", unique_indices=True``: rows ARE
+#            unique per sample by construction (one pillar per cell);
+#            dump-row duplicates all write 0.0, so any pick is exact
+#   "invg" — scatter only 24k i32 pillar ids (C× less scatter data),
+#            then build the canvas as ONE flat row gather — turns the
+#            hot write into the sanctioned flat-gather form and its
+#            backward into a flat gather of the cotangent
+# Measured (ab_scat5: isolated fwd+bwd set 4.10 / uniq 1.40 / invg
+# 5.56 ms; ab_scat5c: composed PointPillars scanned step set 15.56 /
+# uniq 13.42 ms bf16, 19.75 / 17.54 f32, loss bit-exact) — without
+# the uniqueness promise XLA serializes the scatter against possible
+# duplicate writes.
+S2D_SCATTER_MODE = "uniq"
+
+
+def _scatter_rows_canvas(features, valid, rows, n_cells, py, px, co):
+    B, V, C = features.shape
+    feats = jnp.where(valid[..., None], features, 0.0).reshape(
+        B * V, C
+    )
+    if S2D_SCATTER_MODE == "invg":
+        inv = jnp.full((n_cells + 1,), B * V, jnp.int32)
+        inv = inv.at[rows].set(
+            jnp.arange(B * V, dtype=jnp.int32),
+            mode="drop",
+            unique_indices=True,
+        )
+        flat = jnp.concatenate(
+            [feats, jnp.zeros((1, C), features.dtype)], 0
+        )
+        return flat[inv[:n_cells]].reshape(B, py, px, co)
+    canvas = jnp.zeros((n_cells + 1, C), features.dtype)
+    if S2D_SCATTER_MODE == "uniq":
+        canvas = canvas.at[rows].set(
+            feats, mode="drop", unique_indices=True
+        )
+    else:
+        canvas = canvas.at[rows].set(feats)
+    return canvas[:n_cells].reshape(B, py, px, co)

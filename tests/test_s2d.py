@@ -40,6 +40,48 @@ def test_scatter_s2d_matches_transform_of_classic():
     )
 
 
+def test_scatter_s2d_modes_exact():
+    """Every S2D_SCATTER_MODE lowering (set / uniq / invg) is exact —
+    same canvas AND same feature gradients — incl. duplicate dump rows
+    (all-0.0 writes) and a fully-valid sample."""
+    import importlib
+
+    VX = importlib.import_module("papc_tpu.ops.voxelize")
+
+    rng = np.random.RandomState(3)
+    B, V, C, ny, nx = 2, 64, 8, 12, 10
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    coords = _coords(rng, B, V, ny, nx)
+    coords[1] = _coords(np.random.RandomState(4), 1, V, ny, nx)[0]
+    # make sample 0 fully valid (no dump rows at all)
+    lin = np.random.RandomState(5).choice(ny * nx, V, replace=False)
+    coords[0, :, 0] = 0
+    coords[0, :, 1] = lin // nx
+    coords[0, :, 2] = lin % nx
+    coords = jnp.asarray(coords)
+
+    def run():
+        out = scatter_to_bev_s2d(feats, coords, ny, nx)
+        g = jax.grad(
+            lambda f: jnp.sum(
+                jnp.sin(scatter_to_bev_s2d(f, coords, ny, nx))
+            )
+        )(feats)
+        return np.asarray(out), np.asarray(g)
+
+    old = VX.S2D_SCATTER_MODE
+    try:
+        VX.S2D_SCATTER_MODE = "set"
+        ref_out, ref_g = run()
+        for mode in ("uniq", "invg"):
+            VX.S2D_SCATTER_MODE = mode
+            out, g = run()
+            np.testing.assert_array_equal(out, ref_out, err_msg=mode)
+            np.testing.assert_array_equal(g, ref_g, err_msg=mode)
+    finally:
+        VX.S2D_SCATTER_MODE = old
+
+
 def test_expanded_kernel_matches_stride2_conv():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))

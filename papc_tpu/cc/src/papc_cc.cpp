@@ -211,6 +211,28 @@ int points_to_voxel_flat_epoch(
       ++num;
     }
   }
+  // Stable counting sort by owner: the flat view comes out grouped by
+  // pillar in ascending first-seen id order, within-pillar point order
+  // preserved (== the grid voxelizer's slot order, so per-pillar
+  // reductions stay bit-identical). Sorted rows let the device
+  // segment scatters carry indices_are_sorted=True.
+  if (n > 0) {
+    std::vector<int64_t> offsets(voxel_num + 1, 0);
+    for (int64_t i = 0; i < n; ++i) offsets[flat_owner[i] + 1]++;
+    for (int v = 0; v < voxel_num; ++v) offsets[v + 1] += offsets[v];
+    std::vector<float> tmp_pts((size_t)(n * ndim));
+    std::vector<int32_t> tmp_own((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t dst = offsets[flat_owner[i]]++;
+      std::memcpy(tmp_pts.data() + dst * ndim, flat_points + i * ndim,
+                  sizeof(float) * ndim);
+      tmp_own[(size_t)dst] = flat_owner[i];
+    }
+    std::memcpy(flat_points, tmp_pts.data(),
+                sizeof(float) * (size_t)(n * ndim));
+    std::memcpy(flat_owner, tmp_own.data(),
+                sizeof(int32_t) * (size_t)n);
+  }
   *out_n = (int32_t)n;
   return voxel_num;
 }

@@ -176,6 +176,19 @@ def nnrelu(x):
     return jnp.maximum(x, 0)
 
 
+# Row space of pfn_forward_flat's segment scatters. True assumes every
+# producer of (points, point_pillar) emits points GROUPED BY PILLAR in
+# ascending id order with the padding tail last — guaranteed by the
+# C++ streamer's stable counting sort (papc_cc.cpp
+# points_to_voxel_flat_epoch) and by flatten_pillars (voxel-major by
+# construction); pinned by tests. The rows then use a per-sample dump
+# slot (b·(V+1)+V) so they are GLOBALLY non-decreasing and the
+# scatter-add/scatter-max can carry indices_are_sorted=True (XLA
+# serializes unpromised duplicate writes; cf. the unique_indices win
+# on the BEV scatter, ops/voxelize.py).
+FLAT_ROWS_SORTED = False
+
+
 def pfn_forward_flat(
     kernel: jax.Array,  # [C, O] Dense kernel (no bias)
     scale: jax.Array,  # [O] BN gamma
@@ -224,21 +237,46 @@ def pfn_forward_flat(
     P = int(max_points_per_pillar)
     dt = points.dtype
     valid = point_pillar >= 0  # [B, N]
-    rows = jnp.where(
-        valid,
-        jnp.arange(B, dtype=jnp.int32)[:, None] * V + point_pillar,
-        B * V,
-    ).reshape(B * N)
+    if FLAT_ROWS_SORTED:
+        # per-sample dump slot keeps the flat rows globally sorted
+        # (see the flag docstring); canvases live in the [B*(V+1)]
+        # row space with slot V a per-sample scratch row
+        Vp = V + 1
+        rows = jnp.where(
+            valid,
+            jnp.arange(B, dtype=jnp.int32)[:, None] * Vp
+            + point_pillar,
+            jnp.arange(B, dtype=jnp.int32)[:, None] * Vp + V,
+        ).reshape(B * N)
+        scat = dict(mode="drop", indices_are_sorted=True)
+    else:
+        Vp = None
+        rows = jnp.where(
+            valid,
+            jnp.arange(B, dtype=jnp.int32)[:, None] * V + point_pillar,
+            B * V,
+        ).reshape(B * N)
+        scat = {}
 
     # per-pillar xyz mean: flat segment-sum over the real points
     xyz = jnp.where(valid[..., None], points[..., :3], 0.0)
-    sums = jnp.zeros((B * V + 1, 3), dt)
-    sums = sums.at[rows].add(xyz.reshape(B * N, 3))
-    denom = jnp.maximum(num_points, 1).astype(dt).reshape(B * V, 1)
-    mean_pp = sums[: B * V] / denom  # [B*V, 3]
+    if FLAT_ROWS_SORTED:
+        sums = jnp.zeros((B * Vp, 3), dt)
+        sums = sums.at[rows].add(xyz.reshape(B * N, 3), **scat)
+        denom = jnp.pad(
+            jnp.maximum(num_points, 1), ((0, 0), (0, 1)),
+            constant_values=1,
+        ).astype(dt).reshape(B * Vp, 1)
+        mean_pp = sums / denom  # [B*Vp, 3]
+        grows = rows  # dump slot is a real (scratch) canvas row
+    else:
+        sums = jnp.zeros((B * V + 1, 3), dt)
+        sums = sums.at[rows].add(xyz.reshape(B * N, 3))
+        denom = jnp.maximum(num_points, 1).astype(dt).reshape(B * V, 1)
+        mean_pp = sums[: B * V] / denom  # [B*V, 3]
+        grows = jnp.minimum(rows, B * V - 1)  # clamp dump row
 
     # per-point gathers (flat row form)
-    grows = jnp.minimum(rows, B * V - 1)  # clamp dump row for gathers
     mean_pt = mean_pp[grows].reshape(B, N, 3)
     vx, vy = float(voxel_size[0]), float(voxel_size[1])
     x_offset = vx / 2 + float(pc_range[0])
@@ -249,7 +287,10 @@ def pfn_forward_flat(
             coords[..., 1].astype(dt) * vy + y_offset,
         ],
         axis=-1,
-    ).reshape(B * V, 2)
+    )  # [B, V, 2]
+    if FLAT_ROWS_SORTED:
+        centers = jnp.pad(centers, ((0, 0), (0, 1), (0, 0)))
+    centers = centers.reshape(-1, 2)
     center_pt = centers[grows].reshape(B, N, 2)
 
     feats = [
@@ -308,9 +349,18 @@ def pfn_forward_flat(
 
     h = nnrelu(f2 @ w_f + b_f[None, :])  # [B*N, O]
     neg = jnp.asarray(-jnp.inf, dt)
-    seg = jnp.full((B * V + 1, O), neg, dt)
-    seg = seg.at[rows].max(jnp.where(valid.reshape(B * N, 1), h, neg))
-    seg = seg[: B * V].reshape(B, V, O)
+    if FLAT_ROWS_SORTED:
+        seg = jnp.full((B * Vp, O), neg, dt)
+        seg = seg.at[rows].max(
+            jnp.where(valid.reshape(B * N, 1), h, neg), **scat
+        )
+        seg = seg.reshape(B, Vp, O)[:, :V]
+    else:
+        seg = jnp.full((B * V + 1, O), neg, dt)
+        seg = seg.at[rows].max(
+            jnp.where(valid.reshape(B * N, 1), h, neg)
+        )
+        seg = seg[: B * V].reshape(B, V, O)
 
     # padded-slot activation joins the max iff the pillar has padding
     a0 = nnrelu(b_f)  # [O]

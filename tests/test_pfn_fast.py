@@ -233,6 +233,57 @@ def test_pfn_flat_matches_classic(with_distance, train):
         )
 
 
+def test_pfn_flat_sorted_rows_exact():
+    """FLAT_ROWS_SORTED=True (per-sample dump slot + sorted-scatter
+    promises) is bit-identical to the default row space — outputs,
+    running stats, and input/param grads — on sorted flat inputs
+    (flatten_pillars emits voxel-major order by construction)."""
+    import papc_tpu.detect.pfn_fast as PF
+
+    P = 16
+    pfn, variables, voxels, num_points, coords = _fixture(
+        False, P=P, seed=11
+    )
+    num_points[1, 0] = 0
+    voxels[1, 0] = 0.0
+    args = _fast_args(variables, voxels, num_points, coords)
+    points, owner = PF.flatten_pillars(voxels, num_points, coords)
+
+    def run(train):
+        def f(kernel, pts):
+            out, new_running = PF.pfn_forward_flat(
+                kernel, args["scale"], args["bias"], args["running"],
+                pts, jnp.asarray(owner), jnp.asarray(num_points),
+                jnp.asarray(coords), P,
+                voxel_size=VOXEL_SIZE, pc_range=PC_RANGE,
+                train=train,
+            )
+            return jnp.sum(jnp.sin(out)), (out, new_running)
+
+        (loss, (out, nr)), g = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True
+        )(args["kernel"], jnp.asarray(points))
+        return out, nr, g
+
+    old = PF.FLAT_ROWS_SORTED
+    try:
+        PF.FLAT_ROWS_SORTED = False
+        ref = [run(True), run(False)]
+        PF.FLAT_ROWS_SORTED = True
+        got = [run(True), run(False)]
+    finally:
+        PF.FLAT_ROWS_SORTED = old
+    for (o_a, nr_a, g_a), (o_b, nr_b, g_b) in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_b))
+        for a, b in zip(nr_a, nr_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_a),
+            jax.tree_util.tree_leaves(g_b),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pfn_flat_gradients_match_classic():
     from papc_tpu.detect.pfn_fast import (
         flatten_pillars,

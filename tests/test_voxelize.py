@@ -241,13 +241,11 @@ def test_cc_points_to_voxel_flat_matches_grid():
     )
     assert int((owner >= 0).sum()) == int((ref_owner >= 0).sum())
 
-    def keyed(fp, ow):
-        m = ow >= 0
-        a = np.concatenate(
-            [ow[m][:, None].astype(np.float32), fp[m]], 1
-        )
-        return a[np.lexsort(a.T[::-1])]
-
-    np.testing.assert_array_equal(
-        keyed(flat, owner), keyed(ref_flat[0], ref_owner[0])
-    )
+    # the streamer counting-sorts by pillar (stable): the valid prefix
+    # is grouped by ascending owner, bit-identical to grid+flatten
+    # (which emits voxel-major slot order by construction)
+    m = owner >= 0
+    rm = ref_owner[0] >= 0
+    assert np.all(np.diff(owner[m]) >= 0), "owners not sorted"
+    np.testing.assert_array_equal(owner[m], ref_owner[0][rm])
+    np.testing.assert_array_equal(flat[m], ref_flat[0][rm])
